@@ -1,0 +1,66 @@
+"""SparkSession factory with scale-oriented defaults.
+
+All engine entry points funnel through :func:`get_spark` so every run —
+tests, the driver harness, bench.py — gets the same tuned configuration:
+AQE on (runtime re-plan + skew-join), Arrow enabled for pandas UDF
+exchange with a bounded batch size (audio ``bytes`` payloads are
+heavy-tailed; unbounded batches OOM a python worker at scale).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+from .config import ARROW_MAX_RECORDS_PER_BATCH, DEFAULT_SHUFFLE_PARTITIONS
+
+
+def get_spark(
+    master: str | None = None,
+    app_name: str = "llm-drift-detector-spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env) or
+    ``local[*]``.  On a real cluster, pass ``None`` and let spark-submit
+    own the master; every conf below is cluster-safe.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+
+    if shuffle_partitions is None:
+        shuffle_partitions = int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
+        )
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # AQE: runtime partition coalescing + skew-join splitting — the
+        # first line of defense for skewed clip_id joins at 100 TB.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow exchange for pandas UDFs / mapInPandas; bounded batches so
+        # heavy binary payload rows can't blow up a python worker.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(ARROW_MAX_RECORDS_PER_BATCH),
+        )
+        # Keep timestamps sane across engines (oracle = DuckDB in UTC).
+        .config("spark.sql.session.timeZone", "UTC")
+        # 128 MiB scan splits: good parallelism without tiny-task overhead.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    return builder.getOrCreate()
