@@ -342,6 +342,63 @@ def synth_dir_for(sf_dir: str) -> str:
     return os.path.join(SYNTH_ROOT, tier)
 
 
+def ensure_synth_local(sf_dir: str) -> str:
+    """Spark-free fallback generator (pure pandas/pyarrow, same layout).
+
+    Used by ``__spark_entry__.oracle_sql`` as a safety net: the DuckDB
+    oracle reads the synth parquet by absolute path, so the data must
+    exist even if the Spark side hasn't run yet.  Row content is the
+    identical pure function of (seed, index) the Spark path uses.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = synth_dir_for(sf_dir)
+    tier = os.path.basename(root)
+    p = SynthParams(n_rows=SF_ROWS[tier])
+    done = os.path.join(root, "_DONE")
+    if os.path.exists(done):
+        return root
+
+    def write(rows: list[dict], path: str, schema: pa.Schema) -> None:
+        os.makedirs(path, exist_ok=True)
+        tbl = pa.Table.from_pylist(rows, schema=schema)
+        pq.write_table(tbl, os.path.join(path, "part-000.parquet"))
+
+    clips_schema = pa.schema(
+        [
+            ("clip_id", pa.string()),
+            ("bytes", pa.binary()),
+            ("sr_hz", pa.int32()),
+            ("dur_ms", pa.int32()),
+            ("codec", pa.string()),
+            ("transcript", pa.string()),
+        ]
+    )
+    tr_schema = pa.schema(
+        [
+            ("clip_id", pa.string()),
+            ("transcript", pa.string()),
+            ("embedding", pa.list_(pa.float32())),
+        ]
+    )
+    clean = replace(p, inject_violations=False)
+    for params, sub in [(p, "clips"), (clean, "clips_reference")]:
+        rows = [make_clip_row(params, i) for i in range(params.n_rows)]
+        write(rows, os.path.join(root, sub), clips_schema)
+    for params, sub in [(p, "transcripts"), (clean, "transcripts_reference")]:
+        rows = []
+        for i in range(params.n_rows):
+            for r in make_transcript_rows(params, i):
+                r = dict(r)
+                r["embedding"] = r["embedding"].tolist()
+                rows.append(r)
+        write(rows, os.path.join(root, sub), tr_schema)
+    with open(done, "w") as f:
+        f.write("ok\n")
+    return root
+
+
 def ensure_synth(spark, sf_dir: str, partitions: int = 32) -> str:
     """Generate (once) and return the synth dir for a given sf tier.
 
