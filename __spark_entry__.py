@@ -33,8 +33,22 @@ from llm_drift_detector_spark.checks import (
     uniqueness_metrics,
 )
 from llm_drift_detector_spark.config import CODEC_WHITELIST, SR_HZ_DOMAIN
+from llm_drift_detector_spark.drift import (
+    js_psi_frame,
+    ks_frame,
+    psi_frame,
+    two_sample_moments,
+    wasserstein_frame,
+    welch_t_frame,
+)
 from llm_drift_detector_spark.synth import ensure_synth, synth_dir_for
 from llm_drift_detector_spark.synth.clips import ensure_synth_local
+
+# fixed split + pinned bin count for the events drift queries: the Rice
+# rule's ceil(2*n^(1/3)) can round differently across engines when n^(1/3)
+# lands on a representable integer, so oracle queries pin nbins.
+EVENTS_SPLIT_TS = "2024-01-15 00:00:00"
+ORACLE_NBINS = 40
 
 SYNTH_SF001 = "/root/repo/data/synth/sf0.01"
 
@@ -48,15 +62,25 @@ def _clips(spark: SparkSession, sf_dir: str, name: str = "clips") -> DataFrame:
     return spark.read.parquet(os.path.join(root, name))
 
 
-def _round4(df: DataFrame) -> DataFrame:
-    """Round every double column to 4 decimals (cross-engine hash parity)."""
+def _round(df: DataFrame, n: int = 4) -> DataFrame:
+    """Round every double column to n decimals (cross-engine hash parity)."""
     cols = [
-        F.round(F.col(f.name), 4).alias(f.name)
+        F.round(F.col(f.name), n).alias(f.name)
         if f.dataType.simpleString() == "double"
         else F.col(f.name)
         for f in df.schema.fields
     ]
     return df.select(*cols)
+
+
+_round4 = _round
+
+
+def _events_windows(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    ev = _t(spark, sf_dir, "events")
+    ref = ev.where(F.col("ts") < EVENTS_SPLIT_TS).select("value")
+    cur = ev.where(F.col("ts") >= EVENTS_SPLIT_TS).select("value")
+    return ref, cur
 
 
 # ---------------------------------------------------------------------------
@@ -156,8 +180,58 @@ def q_clips_orphan_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orphans(_clips(spark, sf_dir, "transcripts"), _clips(spark, sf_dir))
 
 
+def q_drift_js_psi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ref, cur = _events_windows(spark, sf_dir)
+    return _round(js_psi_frame(ref, cur, "value", nbins=ORACLE_NBINS), 6)
+
+
+def q_drift_ks_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ref, cur = _events_windows(spark, sf_dir)
+    return _round(ks_frame(ref, cur, "value"), 6)
+
+
+def q_drift_wasserstein_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ref, cur = _events_windows(spark, sf_dir)
+    return _round(wasserstein_frame(ref, cur, "value"), 6)
+
+
+def q_drift_welch_t_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ref, cur = _events_windows(spark, sf_dir)
+    return _round(welch_t_frame(ref, cur, "value"), 6)
+
+
+def q_drift_psi_quantile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ref, cur = _events_windows(spark, sf_dir)
+    return _round(psi_frame(ref, cur, "value", nbins=10), 6)
+
+
+def q_drift_moments_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ref, cur = _events_windows(spark, sf_dir)
+    return _round(two_sample_moments(ref, cur, "value"), 4)
+
+
+def q_clips_drift_js_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ref = _clips(spark, sf_dir, "clips_reference").select("dur_ms")
+    cur = _clips(spark, sf_dir, "clips").select("dur_ms")
+    return _round(js_psi_frame(ref, cur, "dur_ms", nbins=ORACLE_NBINS), 6)
+
+
+def q_clips_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ref = _clips(spark, sf_dir, "clips_reference").select("dur_ms")
+    cur = _clips(spark, sf_dir, "clips").select("dur_ms")
+    return _round(ks_frame(ref, cur, "dur_ms"), 6)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "drift_js_psi_events": q_drift_js_psi_events,
+        "drift_ks_events": q_drift_ks_events,
+        "drift_wasserstein_events": q_drift_wasserstein_events,
+        "drift_welch_t_events": q_drift_welch_t_events,
+        "drift_psi_quantile_events": q_drift_psi_quantile_events,
+        "drift_moments_events": q_drift_moments_events,
+        "clips_drift_js_psi": q_clips_drift_js_psi,
+        "clips_drift_ks": q_clips_drift_ks,
         "stats_profile_lineitem": q_stats_profile_lineitem,
         "uniqueness_orders": q_uniqueness_orders,
         "uniqueness_events_user": q_uniqueness_events_user,
@@ -217,7 +291,132 @@ def _uniqueness_sql(src: str, key: str) -> str:
 
 
 _CLIPS = f"read_parquet('{SYNTH_SF001}/clips/*.parquet')"
+_CLIPS_REF = f"read_parquet('{SYNTH_SF001}/clips_reference/*.parquet')"
 _TRANSCRIPTS = f"read_parquet('{SYNTH_SF001}/transcripts/*.parquet')"
+
+_EVENTS_REF = f"SELECT value AS v FROM events WHERE ts < TIMESTAMP '{EVENTS_SPLIT_TS}'"
+_EVENTS_CUR = f"SELECT value AS v FROM events WHERE ts >= TIMESTAMP '{EVENTS_SPLIT_TS}'"
+_CLIPSD_REF = f"SELECT dur_ms AS v FROM {_CLIPS_REF}"
+_CLIPSD_CUR = f"SELECT dur_ms AS v FROM {_CLIPS}"
+
+
+def _two_windows_cte(ref_sql: str, cur_sql: str) -> str:
+    """Shared CTE prologue: tagged union + global range/count stats.
+
+    Mirrors comparators._union_ecdf / shared_range arithmetic exactly —
+    IEEE f64 ops are deterministic, so Spark and DuckDB bucket/ECDF
+    identically given the same doubles.
+    """
+    return f"""
+    u AS (
+      SELECT v::DOUBLE AS v, 1 AS r, 0 AS c FROM ({ref_sql}) WHERE v IS NOT NULL
+      UNION ALL
+      SELECT v::DOUBLE AS v, 0 AS r, 1 AS c FROM ({cur_sql}) WHERE v IS NOT NULL
+    ),
+    st AS (SELECT min(v) AS mn, max(v) AS mx,
+                  sum(r)::BIGINT AS nr, sum(c)::BIGINT AS nc FROM u)
+    """
+
+
+def _js_psi_sql(ref_sql: str, cur_sql: str, nbins: int) -> str:
+    return f"""
+    WITH {_two_windows_cte(ref_sql, cur_sql)},
+    binned AS (
+      SELECT CAST(LEAST(FLOOR((u.v - st.mn) / ((st.mx - st.mn) / {nbins})),
+                        {nbins - 1}) AS INT) AS bin, r, c
+      FROM u, st),
+    counts AS (SELECT bin, sum(r) AS cr, sum(c) AS cc FROM binned GROUP BY bin),
+    bins AS (SELECT CAST(range AS INT) AS bin FROM range({nbins})),
+    j AS (SELECT b.bin, COALESCE(cr, 0)::DOUBLE AS cr, COALESCE(cc, 0)::DOUBLE AS cc
+          FROM bins b LEFT JOIN counts USING (bin)),
+    dens AS (SELECT cr / ((SELECT nr::DOUBLE FROM st) * (SELECT (mx - mn) / {nbins} FROM st)) + 1e-10 AS dr,
+                    cc / ((SELECT nc::DOUBLE FROM st) * (SELECT (mx - mn) / {nbins} FROM st)) + 1e-10 AS dc
+             FROM j),
+    probs AS (SELECT dr / sum(dr) OVER () AS p, dc / sum(dc) OVER () AS q FROM dens)
+    SELECT ROUND(0.5 * sum(p * ln(p / ((p + q) / 2))) + 0.5 * sum(q * ln(q / ((p + q) / 2))), 6) AS js,
+           ROUND(sum((p - q) * ln(p / q)), 6) AS psi
+    FROM probs
+    """
+
+
+def _ks_sql(ref_sql: str, cur_sql: str) -> str:
+    return f"""
+    WITH {_two_windows_cte(ref_sql, cur_sql)},
+    cum AS (SELECT
+        sum(r) OVER (ORDER BY v RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cr,
+        sum(c) OVER (ORDER BY v RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+      FROM u)
+    SELECT ROUND(max(abs(cr / (SELECT nr::DOUBLE FROM st)
+                       - cc / (SELECT nc::DOUBLE FROM st))), 6) AS ks_d
+    FROM cum
+    """
+
+
+def _wasserstein_sql(ref_sql: str, cur_sql: str) -> str:
+    return f"""
+    WITH {_two_windows_cte(ref_sql, cur_sql)},
+    cum AS (SELECT v,
+        sum(r) OVER (ORDER BY v RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cr,
+        sum(c) OVER (ORDER BY v RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+      FROM u),
+    perv AS (SELECT v, max(cr) AS cr, max(cc) AS cc FROM cum GROUP BY v),
+    steps AS (SELECT
+        abs(cr / (SELECT nr::DOUBLE FROM st) - cc / (SELECT nc::DOUBLE FROM st))
+        * (COALESCE(lead(v) OVER (ORDER BY v), v) - v) AS area
+      FROM perv),
+    rng AS (SELECT GREATEST(
+        (SELECT max(v) - min(v) FROM u WHERE r = 1),
+        (SELECT max(v) - min(v) FROM u WHERE c = 1)) AS value_range)
+    SELECT ROUND(COALESCE(sum(area), 0.0), 6) AS wd,
+           ROUND(COALESCE(sum(area), 0.0) / (SELECT value_range FROM rng), 6) AS wd_norm
+    FROM steps
+    """
+
+
+def _welch_t_sql(ref_sql: str, cur_sql: str) -> str:
+    return f"""
+    WITH r AS (SELECT avg(v::DOUBLE) AS m, COALESCE(var_samp(v::DOUBLE), 0.0) AS s,
+                      count(v)::BIGINT AS n FROM ({ref_sql}) WHERE v IS NOT NULL),
+         c AS (SELECT avg(v::DOUBLE) AS m, COALESCE(var_samp(v::DOUBLE), 0.0) AS s,
+                      count(v)::BIGINT AS n FROM ({cur_sql}) WHERE v IS NOT NULL)
+    SELECT ROUND(CASE WHEN (r.s / r.n + c.s / c.n) > 0
+                      THEN (r.m - c.m) / sqrt(r.s / r.n + c.s / c.n)
+                      ELSE 0.0 END, 6) AS t_stat
+    FROM r, c
+    """
+
+
+def _psi_quantile_sql(ref_sql: str, cur_sql: str, nbins: int = 10) -> str:
+    qs = ", ".join(str(i / nbins) for i in range(1, nbins))
+    return f"""
+    WITH {_two_windows_cte(ref_sql, cur_sql)},
+    edges AS (SELECT unnest(quantile_cont(v, [{qs}])) AS e FROM u WHERE r = 1),
+    dv AS (SELECT v, sum(r) AS rv, sum(c) AS cv FROM u GROUP BY v),
+    bucketed AS (SELECT (SELECT count(*) FROM edges WHERE e < dv.v)::INT AS bin,
+                        rv, cv FROM dv),
+    counts AS (SELECT bin, sum(rv) AS cr, sum(cv) AS cc FROM bucketed GROUP BY bin),
+    bins AS (SELECT CAST(range AS INT) AS bin FROM range({nbins})),
+    j AS (SELECT b.bin, COALESCE(cr, 0)::DOUBLE AS cr, COALESCE(cc, 0)::DOUBLE AS cc
+          FROM bins b LEFT JOIN counts USING (bin)),
+    probs AS (SELECT
+        (cr / (SELECT nr::DOUBLE FROM st) + 1e-10) / (1.0 + {nbins} * 1e-10) AS p,
+        (cc / (SELECT nc::DOUBLE FROM st) + 1e-10) / (1.0 + {nbins} * 1e-10) AS q
+      FROM j)
+    SELECT ROUND(sum((p - q) * ln(p / q)), 6) AS psi FROM probs
+    """
+
+
+def _moments_sql(ref_sql: str, cur_sql: str) -> str:
+    def side(src: str, name: str) -> str:
+        return f"""
+        SELECT '{name}' AS side, count(v)::BIGINT AS n,
+               ROUND(avg(v::DOUBLE), 4) AS mean,
+               ROUND(COALESCE(var_samp(v::DOUBLE), 0.0), 4) AS var_samp,
+               ROUND(COALESCE(stddev_pop(v::DOUBLE), 0.0), 4) AS stddev,
+               ROUND(min(v::DOUBLE), 4) AS min, ROUND(max(v::DOUBLE), 4) AS max
+        FROM ({src})"""
+
+    return side(ref_sql, "ref") + " UNION ALL " + side(cur_sql, "cur")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -225,6 +424,14 @@ def oracle_sql() -> dict[str, str]:
     sr_list = ", ".join(str(v) for v in SR_HZ_DOMAIN)
     codec_list = ", ".join(f"'{c}'" for c in CODEC_WHITELIST)
     return {
+        "drift_js_psi_events": _js_psi_sql(_EVENTS_REF, _EVENTS_CUR, ORACLE_NBINS),
+        "drift_ks_events": _ks_sql(_EVENTS_REF, _EVENTS_CUR),
+        "drift_wasserstein_events": _wasserstein_sql(_EVENTS_REF, _EVENTS_CUR),
+        "drift_welch_t_events": _welch_t_sql(_EVENTS_REF, _EVENTS_CUR),
+        "drift_psi_quantile_events": _psi_quantile_sql(_EVENTS_REF, _EVENTS_CUR, 10),
+        "drift_moments_events": _moments_sql(_EVENTS_REF, _EVENTS_CUR),
+        "clips_drift_js_psi": _js_psi_sql(_CLIPSD_REF, _CLIPSD_CUR, ORACLE_NBINS),
+        "clips_drift_ks": _ks_sql(_CLIPSD_REF, _CLIPSD_CUR),
         "stats_profile_lineitem": _profile_sql(
             "lineitem", ["l_quantity", "l_extendedprice", "l_discount"]
         ),

@@ -23,6 +23,11 @@ MIN_SAMPLES = 10              # per-detector gate (detectors/base.py:145)
 
 EPS = 1e-10                   # epsilon guard (distribution.py:293-300)
 
+# detector-level result thresholds (detectors/base.py:91 default 0.1;
+# embedding override default_config.py:117)
+DISTRIBUTION_DETECTOR_THRESHOLD = 0.1
+EMBEDDING_DETECTOR_THRESHOLD = 0.15
+
 # default method weights for the combined distribution score
 # (reference default_config.py drift_detection.distribution.methods)
 DISTRIBUTION_METHODS = {

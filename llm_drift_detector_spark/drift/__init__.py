@@ -1,0 +1,14 @@
+from .comparators import (  # noqa: F401
+    distribution_drift,
+    histogram_probs,
+    js_psi_frame,
+    ks_frame,
+    psi_frame,
+    ref_quantile_edges,
+    rice_bins,
+    shared_range,
+    two_sample_moments,
+    wasserstein_frame,
+    welch_t_frame,
+)
+from .stattests import kolmogorov_sf, ks_2samp_p, student_t_sf, welch_t  # noqa: F401
