@@ -32,6 +32,10 @@ from llm_drift_detector_spark.checks import (
     profile,
     uniqueness_metrics,
 )
+from llm_drift_detector_spark.checks.audio import (
+    audio_invariant_violations,
+    transcript_mismatches,
+)
 from llm_drift_detector_spark.config import CODEC_WHITELIST, SR_HZ_DOMAIN
 from llm_drift_detector_spark.drift import (
     js_psi_frame,
@@ -89,21 +93,24 @@ def _events_windows(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFr
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: validation summary of the sf0.001 synthetic clips table.
+    """Flagship: full validation of the sf0.001 synthetic clips table.
 
     One row per check with its violation count, plus a rows_total row —
     the engine's core "validate a clips table, emit violations" job
-    (SURVEY.md §7.1) collapsed to its summary.
+    (SURVEY.md §7.1) collapsed to its summary.  Covers all 8 mandated
+    checks including the mapInPandas audio decoder.
     """
     sf_dir = "/root/testdata/sf0.001"
     clips = _clips(spark, sf_dir, "clips")
     tr = _clips(spark, sf_dir, "transcripts")
+    ref = _clips(spark, sf_dir, "clips_reference")
 
     def one(name: str, df: DataFrame) -> DataFrame:
         return df.agg(F.count("*").cast("bigint").alias("violations")).select(
             F.lit(name).alias("check_name"), "violations"
         )
 
+    audio = audio_invariant_violations(clips, ref)
     parts = [
         clips.agg(F.count("*").cast("bigint").alias("violations")).select(
             F.lit("rows_total").alias("check_name"), "violations"
@@ -113,6 +120,9 @@ def entry(spark: SparkSession) -> DataFrame:
         one("codec_whitelist", domain_violations(clips, "codec", CODEC_WHITELIST)),
         one("referential_clip_orphan", orphans(clips, tr)),
         one("referential_transcript_orphan", orphans(tr, clips)),
+        one("transcript_equality", transcript_mismatches(clips, tr)),
+        one("dur_ms_mismatch", audio.where("check_name = 'dur_ms_mismatch'")),
+        one("snr_allclose", audio.where("check_name = 'snr_allclose'")),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -170,6 +180,38 @@ def q_clips_sr_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_clips_codec_whitelist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_violations(_clips(spark, sf_dir), "codec", CODEC_WHITELIST)
+
+
+def q_clips_transcript_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return transcript_mismatches(
+        _clips(spark, sf_dir), _clips(spark, sf_dir, "transcripts")
+    )
+
+
+def q_clips_dur_mismatch_bytelen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dur_ms mismatch for byte-length-derivable codecs (pcm: 2 B/sample,
+    opus/mu-law: 1 B/sample) — the native fast-path subset of the full
+    mapInPandas check, SQL-expressible for the oracle (flac needs decode)."""
+    c = _clips(spark, sf_dir)
+    n_samples = F.when(F.col("codec") == "pcm_s16le", F.floor(F.length("bytes") / 2)).when(
+        F.col("codec") == "opus", F.length("bytes")
+    )
+    implied = n_samples * 1000.0 / F.col("sr_hz")
+    return (
+        c.where(F.col("codec").isin("pcm_s16le", "opus"))
+        .where(F.abs(F.col("dur_ms") - implied) > 1.0)
+        .select("clip_id", "codec")
+    )
+
+
+def q_clips_audio_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full decoder check (all codecs + SNR) — mapInPandas, rows-only
+    (no SQL oracle: decode is not SQL-expressible); golden-set parity is
+    covered by tests/test_audio_check.py."""
+    got = audio_invariant_violations(
+        _clips(spark, sf_dir), _clips(spark, sf_dir, "clips_reference")
+    )
+    return got.select("check_name", "clip_id").orderBy("check_name", "clip_id")
 
 
 def q_clips_orphan_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -244,6 +286,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_codec_whitelist": q_clips_codec_whitelist,
         "clips_orphan_clips": q_clips_orphan_clips,
         "clips_orphan_transcripts": q_clips_orphan_transcripts,
+        "clips_transcript_equality": q_clips_transcript_equality,
+        "clips_dur_mismatch_bytelen": q_clips_dur_mismatch_bytelen,
+        "clips_audio_violations": q_clips_audio_violations,
     }
 
 
@@ -466,5 +511,17 @@ def oracle_sql() -> dict[str, str]:
         "clips_orphan_transcripts": f"""
             SELECT DISTINCT t.clip_id FROM {_TRANSCRIPTS} t
             WHERE NOT EXISTS (SELECT 1 FROM {_CLIPS} c WHERE c.clip_id = t.clip_id)
+        """,
+        "clips_transcript_equality": f"""
+            SELECT DISTINCT c.clip_id FROM {_CLIPS} c
+            JOIN {_TRANSCRIPTS} t ON c.clip_id = t.clip_id
+            WHERE c.transcript IS DISTINCT FROM t.transcript
+        """,
+        "clips_dur_mismatch_bytelen": f"""
+            SELECT clip_id, codec FROM {_CLIPS}
+            WHERE codec IN ('pcm_s16le', 'opus')
+              AND abs(dur_ms - (CASE WHEN codec = 'pcm_s16le'
+                                     THEN floor(octet_length(bytes) / 2)
+                                     ELSE octet_length(bytes) END) * 1000.0 / sr_hz) > 1.0
         """,
     }

@@ -1,0 +1,289 @@
+"""Validation-run orchestration: checks -> violations/metrics/verdicts
+tables with per-bucket checkpoint + resume.
+
+The reference runs detectors eagerly and appends results to CSV/SQL
+(``monitoring/metrics.py:131-250``); it has no resumability (closest
+artifact: pickled reference-distribution reload, ``processor.py:271-286``).
+The north rule mandates per-partition checkpointing with lineage so a
+killed job resumes only unfinished partitions.  Design:
+
+- Work is keyed by STABLE logical buckets ``pmod(xxhash64(clip_id), B)``
+  (checks/base.py) — identical on any cluster size, unlike physical
+  partition ids.
+- Buckets are processed in ``groups`` sequential Spark jobs (default 4).
+  Each group writes its violation rows to ``violations/group=g/``
+  (overwrite = idempotent re-run) and then appends one checkpoint row
+  per bucket with lineage + metrics.  A kill between groups loses at
+  most one group's work; re-running the same run_id anti-joins the
+  checkpoint table and executes only unfinished groups.
+- At 10^12 rows the input Iceberg table should be partitioned by
+  ``bucket(clip_id, B)`` so each group's scan prunes to its buckets;
+  on plain parquet the group filter is a predicate on a computed column
+  (full scan per group — correctness identical, documented cost).
+
+Violations/metrics/verdicts schemas are FIXTURES.md §4.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..config import (
+    CODEC_WHITELIST,
+    EXACT,
+    SR_HZ_DOMAIN,
+    StatsMode,
+)
+from ..checks.audio import audio_invariant_violations, transcript_mismatches
+from ..checks.base import bucket_id
+from ..checks.domain import domain_violations
+from ..checks.referential import orphans
+from ..checks.stats import profile
+from ..checks.uniqueness import duplicate_keys
+from ..drift import distribution_drift
+
+CHECK_VERSIONS = {
+    "uniqueness": "1.0",
+    "sr_hz_domain": "1.0",
+    "codec_whitelist": "1.0",
+    "referential_clip_orphan": "1.0",
+    "referential_transcript_orphan": "1.0",
+    "transcript_equality": "1.0",
+    "dur_ms_mismatch": "1.0",
+    "snr_allclose": "1.0",
+}
+
+
+@dataclass
+class RunConfig:
+    run_id: str
+    out_dir: str
+    n_buckets: int = 32
+    groups: int = 4
+    mode: StatsMode = field(default_factory=lambda: EXACT)
+    drift_columns: tuple[str, ...] = ("dur_ms",)
+    salt: int = 0
+
+
+def _violations_for_group(
+    clips_g: DataFrame, transcripts_g: DataFrame, reference_g: DataFrame, cfg: RunConfig
+) -> DataFrame:
+    """All violation rows for one bucket group, in FIXTURES §4 shape
+    minus run_id (added by the writer).  Buckets are closed under
+    clip_id, so per-group uniqueness/referential results are complete."""
+
+    def shape(df: DataFrame, check: str, detail_col=None) -> DataFrame:
+        detail = detail_col if detail_col is not None else F.lit("{}")
+        return df.select(
+            F.lit(check).alias("check_name"),
+            F.col("clip_id"),
+            detail.alias("detail"),
+            bucket_id("clip_id", cfg.n_buckets).alias("partition_id"),
+        )
+
+    dup = duplicate_keys(clips_g)
+    parts = [
+        shape(dup, "uniqueness", F.to_json(F.struct(F.col("n")))),
+        shape(
+            domain_violations(clips_g, "sr_hz", SR_HZ_DOMAIN),
+            "sr_hz_domain",
+            F.to_json(F.struct(F.col("value"))),
+        ),
+        shape(
+            domain_violations(clips_g, "codec", CODEC_WHITELIST),
+            "codec_whitelist",
+            F.to_json(F.struct(F.col("value"))),
+        ),
+        shape(orphans(clips_g, transcripts_g), "referential_clip_orphan"),
+        shape(orphans(transcripts_g, clips_g), "referential_transcript_orphan"),
+        shape(transcript_mismatches(clips_g, transcripts_g), "transcript_equality"),
+        audio_invariant_violations(clips_g, reference_g, salt=cfg.salt).select(
+            "check_name",
+            "clip_id",
+            "detail",
+            bucket_id("clip_id", cfg.n_buckets).alias("partition_id"),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _completed_buckets(spark: SparkSession, cfg: RunConfig) -> set[int]:
+    path = os.path.join(cfg.out_dir, "checkpoints")
+    if not os.path.exists(path):  # first run: nothing checkpointed yet
+        return set()
+    cp = spark.read.parquet(path)
+    rows = (
+        cp.where((F.col("run_id") == cfg.run_id) & (F.col("status") != "pending"))
+        .select("partition_id")
+        .distinct()
+        .collect()
+    )
+    return {r.partition_id for r in rows}
+
+
+def run_validation(
+    spark: SparkSession,
+    clips: DataFrame,
+    transcripts: DataFrame,
+    reference: DataFrame,
+    cfg: RunConfig,
+    lineage_extra: dict | None = None,
+    max_groups: int | None = None,
+) -> dict:
+    """Execute the full validation run; resumable by re-calling with the
+    same run_id + out_dir.  Returns a summary dict.
+
+    ``max_groups`` processes at most that many bucket groups then stops —
+    the kill-and-resume test hook (simulates a job dying mid-run).
+    """
+    os.makedirs(cfg.out_dir, exist_ok=True)
+    done = _completed_buckets(spark, cfg)
+    all_buckets = list(range(cfg.n_buckets))
+    pending = [b for b in all_buckets if b not in done]
+    groups: dict[int, list[int]] = {}
+    for b in pending:
+        groups.setdefault(b % cfg.groups, []).append(b)
+
+    executed_groups = []
+    for g, buckets in sorted(groups.items()):
+        if max_groups is not None and len(executed_groups) >= max_groups:
+            break
+        t0 = time.time()
+        in_group = bucket_id("clip_id", cfg.n_buckets).isin(buckets)
+        clips_g = clips.where(in_group)
+        tr_g = transcripts.where(in_group)
+        ref_g = reference.where(in_group)
+
+        vio = _violations_for_group(clips_g, tr_g, ref_g, cfg).withColumn(
+            "run_id", F.lit(cfg.run_id)
+        ).select("run_id", "check_name", "clip_id", "detail", "partition_id")
+        group_path = os.path.join(cfg.out_dir, "violations", f"group={g}")
+        vio.write.mode("overwrite").parquet(group_path)
+
+        # read back what we wrote (exact counts, no recompute) and build
+        # the per-bucket verdict + checkpoint rows
+        written = spark.read.parquet(group_path)
+        vio_counts = {
+            r.partition_id: r.cnt
+            for r in written.groupBy("partition_id").agg(F.count("*").alias("cnt")).collect()
+        }
+        row_counts = {
+            r.b: r.cnt
+            for r in clips_g.groupBy(bucket_id("clip_id", cfg.n_buckets).alias("b"))
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        }
+        lineage = json.dumps(
+            {
+                "group": g,
+                "salt": cfg.salt,
+                "n_buckets": cfg.n_buckets,
+                "check_versions": CHECK_VERSIONS,
+                "mode": "exact" if cfg.mode.exact else "sketch",
+                **(lineage_extra or {}),
+            }
+        )
+        cp_rows = [
+            (
+                cfg.run_id,
+                int(b),
+                "fail" if vio_counts.get(b, 0) > 0 else "pass",
+                int(row_counts.get(b, 0)),
+                int(vio_counts.get(b, 0)),
+                lineage,
+            )
+            for b in buckets
+        ]
+        cp = spark.createDataFrame(
+            cp_rows,
+            "run_id string, partition_id int, status string, rows_processed bigint, "
+            "violations_emitted bigint, lineage string",
+        ).withColumn("completed_at", F.current_timestamp())
+        cp.write.mode("append").parquet(os.path.join(cfg.out_dir, "checkpoints"))
+        executed_groups.append({"group": g, "buckets": buckets, "secs": time.time() - t0})
+
+    # global metrics (cheap, run every time: deterministic overwrite)
+    metrics_rows = []
+    prof = profile(clips, ["sr_hz", "dur_ms"], cfg.mode).collect()
+    for r in prof:
+        for stat in ("count", "null_rate", "mean", "stddev", "min", "max", "q25", "median", "q75"):
+            metrics_rows.append(
+                (
+                    cfg.run_id,
+                    "stats_profile",
+                    f"profile_{stat}",
+                    r["column"],
+                    float(r[stat]) if r[stat] is not None else None,
+                    None,
+                    None,
+                    None,
+                    None,
+                    None,
+                    "{}",
+                )
+            )
+    for col in cfg.drift_columns:
+        res = distribution_drift(
+            reference.select(col), clips.select(col), col, mode=cfg.mode
+        )
+        for m, t in res.get("methods", {}).items():
+            metrics_rows.append(
+                (
+                    cfg.run_id,
+                    "distribution_drift",
+                    m,
+                    col,
+                    float(t["score"]),
+                    float(t["threshold"]),
+                    bool(t["drift_detected"]),
+                    float(t["p_value"]) if t.get("p_value") is not None else None,
+                    int(res["reference_size"]),
+                    int(res["current_size"]),
+                    json.dumps({k: v for k, v in t.items() if k not in ("score",)}),
+                )
+            )
+        metrics_rows.append(
+            (
+                cfg.run_id,
+                "distribution_drift",
+                "combined",
+                col,
+                float(res.get("drift_score", 0.0)),
+                float(res["threshold"]),
+                bool(res.get("drift_detected", False)),
+                None,
+                int(res["reference_size"]),
+                int(res["current_size"]),
+                "{}",
+            )
+        )
+    metrics = spark.createDataFrame(
+        metrics_rows,
+        "run_id string, detector_name string, metric_name string, column string, "
+        "drift_score double, threshold double, drift_detected boolean, p_value double, "
+        "reference_size bigint, current_size bigint, details string",
+    ).withColumn("timestamp", F.current_timestamp())
+    metrics.write.mode("overwrite").parquet(os.path.join(cfg.out_dir, "metrics"))
+
+    cp_all = spark.read.parquet(os.path.join(cfg.out_dir, "checkpoints")).where(
+        F.col("run_id") == cfg.run_id
+    )
+    summary = {
+        "run_id": cfg.run_id,
+        "resumed_buckets_skipped": sorted(done),
+        "executed_groups": executed_groups,
+        "buckets_pass": cp_all.where(F.col("status") == "pass").count(),
+        "buckets_fail": cp_all.where(F.col("status") == "fail").count(),
+        "rows_processed": (cp_all.agg(F.sum("rows_processed")).collect()[0][0] or 0),
+        "violations_emitted": (cp_all.agg(F.sum("violations_emitted")).collect()[0][0] or 0),
+    }
+    return summary

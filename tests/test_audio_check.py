@@ -1,0 +1,59 @@
+"""Golden violation tests for the audio mapInPandas validator
+(FIXTURES.md §5.1-5.3): the emitted violation set must equal the
+injected set exactly, by (check_name, clip_id).
+"""
+
+import pytest
+
+from llm_drift_detector_spark.checks.audio import (
+    audio_invariant_violations,
+    transcript_mismatches,
+)
+from llm_drift_detector_spark.synth import ensure_synth
+from llm_drift_detector_spark.synth.clips import SF_ROWS, SynthParams, expected_violations
+
+
+@pytest.fixture(scope="module")
+def synth(spark, sf_dir):
+    root = ensure_synth(spark, sf_dir)
+    return {
+        "clips": spark.read.parquet(f"{root}/clips"),
+        "transcripts": spark.read.parquet(f"{root}/transcripts"),
+        "reference": spark.read.parquet(f"{root}/clips_reference"),
+        "expected": expected_violations(SynthParams(n_rows=SF_ROWS["sf0.001"])),
+    }
+
+
+def test_audio_violations_exact_set(synth):
+    got = audio_invariant_violations(synth["clips"], synth["reference"]).collect()
+    by_check: dict[str, set] = {}
+    for r in got:
+        by_check.setdefault(r.check_name, set()).add(r.clip_id)
+    assert by_check.get("dur_ms_mismatch", set()) == synth["expected"]["dur_ms_mismatch"]
+    assert by_check.get("snr_allclose", set()) == synth["expected"]["snr_allclose"]
+    assert set(by_check) <= {"dur_ms_mismatch", "snr_allclose"}
+
+
+def test_transcript_equality_exact_set(synth):
+    got = {r.clip_id for r in transcript_mismatches(synth["clips"], synth["transcripts"]).collect()}
+    assert got == synth["expected"]["transcript_equality"]
+
+
+def test_non_violating_rows_pass_snr_invariant(synth):
+    """input_hint per-row invariant: every non-injected row decodes allclose."""
+    exp = synth["expected"]
+    all_flagged = (
+        exp["dur_ms_mismatch"] | exp["snr_allclose"] | exp["codec_whitelist"]
+    )
+    got = audio_invariant_violations(synth["clips"], synth["reference"]).collect()
+    assert {r.clip_id for r in got} <= all_flagged
+
+
+def test_salting_does_not_change_results(synth):
+    a = audio_invariant_violations(synth["clips"], synth["reference"], salt=0)
+    b = audio_invariant_violations(
+        synth["clips"], synth["reference"], n_partitions=3, salt=12345
+    )
+    ka = {(r.check_name, r.clip_id) for r in a.collect()}
+    kb = {(r.check_name, r.clip_id) for r in b.collect()}
+    assert ka == kb
