@@ -38,8 +38,11 @@ from llm_drift_detector_spark.checks.audio import (
 )
 from llm_drift_detector_spark.config import CODEC_WHITELIST, SR_HZ_DOMAIN
 from llm_drift_detector_spark.drift import (
+    centroid,
+    centroid_cosine_frame,
     js_psi_frame,
     ks_frame,
+    mean_dist_frame,
     psi_frame,
     two_sample_moments,
     wasserstein_frame,
@@ -182,6 +185,34 @@ def q_clips_codec_whitelist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_violations(_clips(spark, sf_dir), "codec", CODEC_WHITELIST)
 
 
+def _emb_windows(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        e.where(F.col("vec_id") % 2 == 0).select("embedding"),
+        e.where(F.col("vec_id") % 2 == 1).select("embedding"),
+    )
+
+
+def q_embedding_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ref, cur = _emb_windows(spark, sf_dir)
+    return _round(centroid_cosine_frame(ref, cur, "embedding", 64), 6)
+
+
+def q_embedding_mean_dist_to_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8: avg cosine distance of current rows to the reference centroid."""
+    ref, cur = _emb_windows(spark, sf_dir)
+    c = centroid(ref, "embedding", 64)
+    return _round(mean_dist_frame(cur, "embedding", c, "cosine"), 6)
+
+
+def q_clips_embedding_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ref = _clips(spark, sf_dir, "transcripts_reference").select("embedding")
+    cur = _clips(spark, sf_dir, "transcripts").select("embedding")
+    from llm_drift_detector_spark.synth.clips import EMBED_DIM
+
+    return _round(centroid_cosine_frame(ref, cur, "embedding", EMBED_DIM), 6)
+
+
 def q_clips_transcript_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transcript_mismatches(
         _clips(spark, sf_dir), _clips(spark, sf_dir, "transcripts")
@@ -286,6 +317,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_codec_whitelist": q_clips_codec_whitelist,
         "clips_orphan_clips": q_clips_orphan_clips,
         "clips_orphan_transcripts": q_clips_orphan_transcripts,
+        "embedding_centroid_cosine": q_embedding_centroid_cosine,
+        "embedding_mean_dist_to_ref": q_embedding_mean_dist_to_ref,
+        "clips_embedding_centroid_cosine": q_clips_embedding_centroid_cosine,
         "clips_transcript_equality": q_clips_transcript_equality,
         "clips_dur_mismatch_bytelen": q_clips_dur_mismatch_bytelen,
         "clips_audio_violations": q_clips_audio_violations,
@@ -451,6 +485,37 @@ def _psi_quantile_sql(ref_sql: str, cur_sql: str, nbins: int = 10) -> str:
     """
 
 
+def _centroid_cosine_sql(ref_sql: str, cur_sql: str, dim: int) -> str:
+    """ref_sql/cur_sql select one LIST column aliased `e`."""
+    return f"""
+    WITH dims AS (SELECT CAST(range AS INT) + 1 AS i FROM range({dim})),
+    a AS (SELECT i, avg(e[i]) AS a FROM ({ref_sql}), dims GROUP BY i),
+    b AS (SELECT i, avg(e[i]) AS b FROM ({cur_sql}), dims GROUP BY i),
+    j AS (SELECT a.a, b.b FROM a JOIN b USING (i))
+    SELECT ROUND(1.0 - sum(a * b) / (sqrt(sum(a * a)) * sqrt(sum(b * b))), 6)
+           AS centroid_cosine
+    FROM j
+    """
+
+
+def _mean_dist_sql(ref_sql: str, cur_sql: str, dim: int) -> str:
+    """avg cosine distance of cur rows to the ref centroid (C8)."""
+    return f"""
+    WITH dims AS (SELECT CAST(range AS INT) + 1 AS i FROM range({dim})),
+    cref AS (SELECT i, avg(e[i]) AS c FROM ({ref_sql}), dims GROUP BY i),
+    cn AS (SELECT sqrt(sum(c * c)) AS cnorm FROM cref),
+    rows_n AS (SELECT row_number() OVER () AS rid, e FROM ({cur_sql})),
+    terms AS (SELECT r.rid, sum(r.e[d.i] * cref.c) AS dot,
+                     sqrt(sum(r.e[d.i] * r.e[d.i])) AS rnorm
+              FROM rows_n r, dims d JOIN cref ON cref.i = d.i
+              GROUP BY r.rid),
+    dists AS (SELECT CASE WHEN rnorm > 0 AND (SELECT cnorm FROM cn) > 0
+                          THEN 1.0 - dot / (rnorm * (SELECT cnorm FROM cn))
+                          ELSE 1.0 END AS dist FROM terms)
+    SELECT ROUND(avg(dist), 6) AS mean_dist FROM dists
+    """
+
+
 def _moments_sql(ref_sql: str, cur_sql: str) -> str:
     def side(src: str, name: str) -> str:
         return f"""
@@ -474,6 +539,21 @@ def oracle_sql() -> dict[str, str]:
         "drift_wasserstein_events": _wasserstein_sql(_EVENTS_REF, _EVENTS_CUR),
         "drift_welch_t_events": _welch_t_sql(_EVENTS_REF, _EVENTS_CUR),
         "drift_psi_quantile_events": _psi_quantile_sql(_EVENTS_REF, _EVENTS_CUR, 10),
+        "embedding_centroid_cosine": _centroid_cosine_sql(
+            "SELECT embedding AS e FROM embeddings WHERE vec_id % 2 = 0",
+            "SELECT embedding AS e FROM embeddings WHERE vec_id % 2 = 1",
+            64,
+        ),
+        "embedding_mean_dist_to_ref": _mean_dist_sql(
+            "SELECT embedding AS e FROM embeddings WHERE vec_id % 2 = 0",
+            "SELECT embedding AS e FROM embeddings WHERE vec_id % 2 = 1",
+            64,
+        ),
+        "clips_embedding_centroid_cosine": _centroid_cosine_sql(
+            f"SELECT embedding AS e FROM read_parquet('{SYNTH_SF001}/transcripts_reference/*.parquet')",
+            f"SELECT embedding AS e FROM {_TRANSCRIPTS}",
+            32,
+        ),
         "drift_moments_events": _moments_sql(_EVENTS_REF, _EVENTS_CUR),
         "clips_drift_js_psi": _js_psi_sql(_CLIPSD_REF, _CLIPSD_CUR, ORACLE_NBINS),
         "clips_drift_ks": _ks_sql(_CLIPSD_REF, _CLIPSD_CUR),

@@ -11,4 +11,11 @@ from .comparators import (  # noqa: F401
     wasserstein_frame,
     welch_t_frame,
 )
+from .embedding import (  # noqa: F401
+    centroid,
+    centroid_cosine_frame,
+    embedding_drift,
+    mean_dist_frame,
+    mmd_cosine,
+)
 from .stattests import kolmogorov_sf, ks_2samp_p, student_t_sf, welch_t  # noqa: F401

@@ -84,7 +84,7 @@ def drift_params(base: SynthParams, kind: str) -> SynthParams:
     if kind == "vocab_swap":
         return replace(base, vocab_swap_frac=0.30, seed=base.seed + 1, inject_violations=False)
     if kind == "embed_rot":
-        return replace(base, embed_rot=0.35, seed=base.seed + 1, inject_violations=False)
+        return replace(base, embed_rot=0.90, seed=base.seed + 1, inject_violations=False)
     if kind == "null":  # same distribution, new seed — false-positive guard
         return replace(base, seed=base.seed + 1, inject_violations=False)
     raise ValueError(kind)
@@ -213,10 +213,11 @@ def embed_tokens(tok_idx: np.ndarray, rot: float = 0.0) -> np.ndarray:
     n = float(np.linalg.norm(v))
     if n > 0:
         v = v / n
-    if rot != 0.0:  # small rotation in the (0,1) plane — drift injection
+    if rot != 0.0:  # global rotation: angle `rot` in every (2k, 2k+1)
+        # plane — moves the whole cloud (and centroid) by ~1-cos(rot)
         c, s = math.cos(rot), math.sin(rot)
-        v0, v1 = float(v[0]), float(v[1])
-        v[0], v[1] = c * v0 - s * v1, s * v0 + c * v1
+        v = v.reshape(-1, 2) @ np.array([[c, s], [-s, c]], dtype=np.float32)
+        v = v.reshape(-1)
     return v.astype(np.float32)
 
 
