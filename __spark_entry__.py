@@ -40,11 +40,16 @@ from llm_drift_detector_spark.config import CODEC_WHITELIST, SR_HZ_DOMAIN
 from llm_drift_detector_spark.drift import (
     centroid,
     centroid_cosine_frame,
+    error_rate_frame,
     js_psi_frame,
     ks_frame,
     mean_dist_frame,
     psi_frame,
+    rolling_zscore_anomalies,
+    style_features_frame,
+    token_counts,
     two_sample_moments,
+    vocab_difference_frame,
     wasserstein_frame,
     welch_t_frame,
 )
@@ -161,6 +166,54 @@ def q_referential_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame
     o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("clip_id"))
     c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("clip_id"))
     return orphans(c, o).select(F.col("clip_id").cast("bigint").alias("orphan_key"))
+
+
+def q_lexical_vocab_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C13 vocabulary difference: en documents vs non-en documents."""
+    d = _t(spark, sf_dir, "documents")
+    ref = d.where(F.col("lang") == "en").select(F.col("text").alias("transcript"))
+    cur = d.where(F.col("lang") != "en").select(F.col("text").alias("transcript"))
+    return _round(vocab_difference_frame(ref, cur, "transcript"), 6)
+
+
+def q_style_features_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select(F.col("text").alias("transcript"))
+    return _round(style_features_frame(d, "transcript"), 6)
+
+
+def q_vocab_term_freq_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 term frequencies (top 50 by count then token for determinism)."""
+    d = _t(spark, sf_dir, "documents").select(F.col("text").alias("transcript"))
+    return (
+        token_counts(d, "transcript")
+        .orderBy(F.desc("cnt"), "token")
+        .limit(50)
+        .select("token", F.col("cnt").cast("bigint").alias("cnt"))
+    )
+
+
+def q_rolling_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    got = rolling_zscore_anomalies(ev, "value", "event_id", window_size=20, z_threshold=2.0)
+    return _round(got.orderBy("event_id"), 6)
+
+
+def q_error_rate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return _round(error_rate_frame(ev, F.col("event_type") == "error"), 6)
+
+
+def q_pivot_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 heatmap analog: mean quantity, returnflag x linestatus."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.avg("l_quantity"))
+        .withColumnRenamed("F", "f_avg")
+        .withColumnRenamed("O", "o_avg")
+    )
+    return _round(p, 6)
 
 
 def q_clips_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -317,6 +370,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_codec_whitelist": q_clips_codec_whitelist,
         "clips_orphan_clips": q_clips_orphan_clips,
         "clips_orphan_transcripts": q_clips_orphan_transcripts,
+        "lexical_vocab_documents": q_lexical_vocab_documents,
+        "style_features_documents": q_style_features_documents,
+        "vocab_term_freq_documents": q_vocab_term_freq_documents,
+        "rolling_zscore_events": q_rolling_zscore_events,
+        "error_rate_events": q_error_rate_events,
+        "pivot_lineitem": q_pivot_lineitem,
         "embedding_centroid_cosine": q_embedding_centroid_cosine,
         "embedding_mean_dist_to_ref": q_embedding_mean_dist_to_ref,
         "clips_embedding_centroid_cosine": q_clips_embedding_centroid_cosine,
@@ -485,6 +544,83 @@ def _psi_quantile_sql(ref_sql: str, cur_sql: str, nbins: int = 10) -> str:
     """
 
 
+_DOC_TOKENS = (
+    "SELECT t.token FROM documents d, "
+    "unnest(regexp_split_to_array(lower(d.text), '\\s+')) AS t(token) "
+    "WHERE {where} AND t.token <> ''"
+)
+
+
+def _vocab_diff_sql(ref_where: str, cur_where: str) -> str:
+    rt = _DOC_TOKENS.format(where=ref_where)
+    ct = _DOC_TOKENS.format(where=cur_where)
+    return f"""
+    WITH rc AS (SELECT token, count(*) AS cr FROM ({rt}) GROUP BY token),
+    cc AS (SELECT token, count(*) AS cc FROM ({ct}) GROUP BY token),
+    j AS (SELECT COALESCE(rc.token, cc.token) AS token, cr, cc
+          FROM rc FULL OUTER JOIN cc ON rc.token = cc.token),
+    tot AS (SELECT sum(cr)::DOUBLE AS rt, sum(cc)::DOUBLE AS ct FROM j),
+    agg AS (SELECT
+        1.0 - sum(CASE WHEN cr IS NOT NULL AND cc IS NOT NULL THEN 1 ELSE 0 END)
+              * 1.0 / GREATEST(count(*), 1) AS jaccard,
+        COALESCE(sum(CASE WHEN cr IS NOT NULL AND cc IS NOT NULL THEN
+            0.5 * (cr / (SELECT rt FROM tot))
+                * ln((cr / (SELECT rt FROM tot))
+                     / ((cr / (SELECT rt FROM tot) + cc / (SELECT ct FROM tot)) / 2) + 1e-10)
+          + 0.5 * (cc / (SELECT ct FROM tot))
+                * ln((cc / (SELECT ct FROM tot))
+                     / ((cr / (SELECT rt FROM tot) + cc / (SELECT ct FROM tot)) / 2) + 1e-10)
+        END), 0.0) AS js,
+        sum(CASE WHEN cr IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS ref_vocab,
+        sum(CASE WHEN cc IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS cur_vocab
+      FROM j)
+    SELECT ROUND(jaccard, 6) AS jaccard, ROUND(js, 6) AS js,
+           ROUND(0.5 * jaccard + 0.5 * LEAST(js, 1.0), 6) AS vocab_diff,
+           ref_vocab, cur_vocab
+    FROM agg
+    """
+
+
+def _style_features_sql(where: str = "TRUE") -> str:
+    toks = _DOC_TOKENS.format(where=where)
+    return f"""
+    WITH sent AS (
+      SELECT len(list_filter(regexp_split_to_array(s.s, '\\s+'), x -> x <> '')) AS wc
+      FROM documents d, unnest(regexp_split_to_array(d.text, '\\.')) AS s(s)
+      WHERE {where} AND trim(s.s) <> ''),
+    tok AS (SELECT avg(length(token)) AS avg_word_len,
+                   count(*)::BIGINT AS token_count,
+                   count(DISTINCT token)::BIGINT AS unique_token_count
+            FROM ({toks}))
+    SELECT ROUND((SELECT COALESCE(avg(wc), 0.0) FROM sent), 6) AS avg_sentence_len,
+           ROUND(avg_word_len, 6) AS avg_word_len,
+           token_count, unique_token_count,
+           ROUND(unique_token_count * 1.0 / GREATEST(token_count, 1), 6) AS diversity
+    FROM tok
+    """
+
+
+def _zscore_sql(w: int = 20, z: float = 2.0) -> str:
+    return f"""
+    WITH v AS (SELECT event_id, value::DOUBLE AS v FROM events WHERE value IS NOT NULL),
+    s AS (SELECT event_id,
+        row_number() OVER (ORDER BY event_id) AS rn,
+        count(*) OVER () AS n,
+        avg(v) OVER (ORDER BY event_id ROWS BETWEEN {w} PRECEDING AND 1 PRECEDING) AS expected,
+        COALESCE(stddev_pop(v) OVER (ORDER BY event_id ROWS BETWEEN {w} PRECEDING AND 1 PRECEDING), 0.0) AS prev_std,
+        avg(v) OVER (ORDER BY event_id ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS value
+      FROM v),
+    zz AS (SELECT event_id, value, expected,
+               CASE WHEN prev_std > 0 THEN abs(value - expected) / prev_std ELSE 0.0 END AS z_score
+           FROM s WHERE rn >= {w + 1} AND rn <= n - {w} + 1)
+    SELECT event_id, ROUND(value, 6) AS value, ROUND(expected, 6) AS expected,
+           ROUND(z_score, 6) AS z_score,
+           CASE WHEN value > expected THEN 'increase' ELSE 'decrease' END AS direction
+    FROM zz WHERE z_score > {z}
+    ORDER BY event_id
+    """
+
+
 def _centroid_cosine_sql(ref_sql: str, cur_sql: str, dim: int) -> str:
     """ref_sql/cur_sql select one LIST column aliased `e`."""
     return f"""
@@ -539,6 +675,24 @@ def oracle_sql() -> dict[str, str]:
         "drift_wasserstein_events": _wasserstein_sql(_EVENTS_REF, _EVENTS_CUR),
         "drift_welch_t_events": _welch_t_sql(_EVENTS_REF, _EVENTS_CUR),
         "drift_psi_quantile_events": _psi_quantile_sql(_EVENTS_REF, _EVENTS_CUR, 10),
+        "lexical_vocab_documents": _vocab_diff_sql("d.lang = 'en'", "d.lang <> 'en'"),
+        "style_features_documents": _style_features_sql(),
+        "vocab_term_freq_documents": f"""
+            SELECT token, count(*)::BIGINT AS cnt
+            FROM ({_DOC_TOKENS.format(where="TRUE")})
+            GROUP BY token ORDER BY cnt DESC, token LIMIT 50
+        """,
+        "rolling_zscore_events": _zscore_sql(20, 2.0),
+        "error_rate_events": """
+            SELECT ROUND(avg(CASE WHEN event_type = 'error' THEN 1.0 ELSE 0.0 END), 6)
+                   AS error_rate FROM events
+        """,
+        "pivot_lineitem": """
+            SELECT l_returnflag,
+                   ROUND(avg(l_quantity) FILTER (WHERE l_linestatus = 'F'), 6) AS f_avg,
+                   ROUND(avg(l_quantity) FILTER (WHERE l_linestatus = 'O'), 6) AS o_avg
+            FROM lineitem GROUP BY l_returnflag
+        """,
         "embedding_centroid_cosine": _centroid_cosine_sql(
             "SELECT embedding AS e FROM embeddings WHERE vec_id % 2 = 0",
             "SELECT embedding AS e FROM embeddings WHERE vec_id % 2 = 1",

@@ -18,7 +18,7 @@ WASSERSTEIN_THRESHOLD = 0.10  # on range-normalized distance
 T_TEST_P_THRESHOLD = 0.05     # Welch; score = 1 - p
 EMBEDDING_THRESHOLD = 0.15    # weighted embedding drift score
 PSI_THRESHOLD = 0.20          # graft addition (BASELINE.json)
-LEXICAL_THRESHOLD = 0.30      # combined jaccard/js lexical score
+LEXICAL_THRESHOLD = 0.10      # detector-level default (base.py:91)
 MIN_SAMPLES = 10              # per-detector gate (detectors/base.py:145)
 
 EPS = 1e-10                   # epsilon guard (distribution.py:293-300)

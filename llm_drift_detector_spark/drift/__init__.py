@@ -18,4 +18,16 @@ from .embedding import (  # noqa: F401
     mean_dist_frame,
     mmd_cosine,
 )
+from .lexical import (  # noqa: F401
+    lexical_drift,
+    style_features_frame,
+    token_counts,
+    vocab_difference_frame,
+)
+from .performance import (  # noqa: F401
+    error_rate_frame,
+    performance_drift,
+    rolling_zscore_anomalies,
+)
 from .stattests import kolmogorov_sf, ks_2samp_p, student_t_sf, welch_t  # noqa: F401
+from .summary import drift_pivot, drift_summary, mean_threshold  # noqa: F401

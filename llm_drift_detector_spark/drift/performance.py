@@ -1,0 +1,193 @@
+"""Performance drift + anomaly scan (reference C15-C16 + A5/P7,
+``detectors/performance.py:55-311``).
+
+- :func:`performance_drift` — per-metric relative-mean-change scores
+  with static threshold boosts and the error-rate special case, all
+  per-side statistics from ONE aggregate pass per side.
+- :func:`rolling_zscore_anomalies` — the sliding-window z-score scan as
+  a native window-frame plan (W1): prev frame ``rowsBetween(-w, -1)``,
+  curr frame ``rowsBetween(0, w-1)``.
+- :func:`error_rate_frame` — A5: errors/total as ``avg(cast)``.
+
+The reference's error predicate (P7): metadata.error truthy OR
+finish_reason in (error, timeout, content_filter) — callers pass the
+equivalent boolean Column for their schema (e.g. the events table uses
+``event_type = 'error'``).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+from .stattests import welch_t
+
+ERROR_FINISH_REASONS = ("error", "timeout", "content_filter")
+
+
+def error_rate_frame(df: DataFrame, is_error: Column) -> DataFrame:
+    """One row: (error_rate double) — A5."""
+    return df.agg(
+        F.coalesce(F.avg(is_error.cast("double")), F.lit(0.0))
+        .cast("double")
+        .alias("error_rate")
+    )
+
+
+def _metric_stats(df: DataFrame, metrics: list[str]) -> dict[str, dict]:
+    aggs = []
+    for m in metrics:
+        c = F.col(m).cast("double")
+        aggs += [
+            F.count(c).alias(f"{m}__n"),
+            F.avg(c).alias(f"{m}__mean"),
+            F.coalesce(F.stddev_pop(c), F.lit(0.0)).alias(f"{m}__std"),
+            F.coalesce(F.var_samp(c), F.lit(0.0)).alias(f"{m}__var"),
+        ]
+    row = df.agg(*aggs).collect()[0]
+    return {
+        m: {
+            "n": int(row[f"{m}__n"]),
+            "mean": float(row[f"{m}__mean"]) if row[f"{m}__mean"] is not None else 0.0,
+            "std": float(row[f"{m}__std"]),
+            "var": float(row[f"{m}__var"]),
+        }
+        for m in metrics
+    }
+
+
+def performance_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    metrics: list[dict],
+    error_condition: Column | None = None,
+    detector_threshold: float = 0.1,
+) -> dict:
+    """Per-metric drift per reference C15.
+
+    ``metrics``: [{"name": col, "upper_threshold": x?, "lower_threshold": y?}]
+    plus optionally {"name": "error_rate", "upper_threshold": r} paired
+    with ``error_condition``.
+    """
+    names = [m["name"] for m in metrics if m["name"] != "error_rate"]
+    ref_stats = _metric_stats(ref, names) if names else {}
+    cur_stats = _metric_stats(cur, names) if names else {}
+
+    metric_results: dict[str, dict] = {}
+    overall, num = 0.0, 0
+    for mc in metrics:
+        name = mc["name"]
+        upper, lower = mc.get("upper_threshold"), mc.get("lower_threshold")
+        if name == "error_rate":
+            if error_condition is None:
+                continue
+            r = error_rate_frame(ref, error_condition).collect()[0].error_rate
+            c = error_rate_frame(cur, error_condition).collect()[0].error_rate
+            rel = (c - r) / r if r > 0 else c * 100  # performance.py:99-103
+            drift = min(max(0.0, rel) / 2.0, 1.0)
+            metric_results[name] = {
+                "reference_value": r,
+                "current_value": c,
+                "relative_change": rel,
+                "drift_score": drift,
+                "drift_detected": (upper is not None and c > upper) or drift > 0.5,
+            }
+        else:
+            rs, cs = ref_stats[name], cur_stats[name]
+            if rs["n"] < 5 or cs["n"] < 5:
+                continue  # performance.py:90-91 min 5 gate
+            rel = (cs["mean"] - rs["mean"]) / rs["mean"] if rs["mean"] > 0 else 0.0
+            exceeded = (upper is not None and cs["mean"] > upper) or (
+                lower is not None and cs["mean"] < lower
+            )
+            _, _, p = welch_t(
+                rs["mean"], rs["var"], rs["n"], cs["mean"], cs["var"], cs["n"]
+            )
+            drift = min(abs(rel) / 0.5, 1.0)
+            if exceeded:
+                drift = max(drift, 0.8)
+            metric_results[name] = {
+                "reference_mean": rs["mean"],
+                "reference_std": rs["std"],
+                "current_mean": cs["mean"],
+                "current_std": cs["std"],
+                "relative_change": rel,
+                "p_value": p,
+                "statistically_significant": p < 0.05,
+                "threshold_exceeded": exceeded,
+                "drift_score": drift,
+                "drift_detected": drift > 0.5 or exceeded,
+            }
+        overall += metric_results[name]["drift_score"]
+        num += 1
+
+    overall = overall / num if num else 0.0
+    return {
+        "metric_name": "performance_drift",
+        "drift_score": overall,
+        "drift_detected": overall > detector_threshold,
+        "threshold": detector_threshold,
+        "metrics": metric_results,
+        "num_metrics_analyzed": num,
+    }
+
+
+def rolling_zscore_anomalies(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    window_size: int = 20,
+    z_threshold: float = 3.0,
+    partition_by: list[str] | None = None,
+) -> DataFrame:
+    """C16: positions where |mean(curr_w) - mean(prev_w)| / std_pop(prev_w)
+    exceeds the z threshold.
+
+    Returns (order_col, value=curr_mean, expected=prev_mean, z_score,
+    direction).  Valid positions i (1-based row number) span
+    [window_size+1, n-window_size+1], matching the reference's loop
+    bounds (performance.py:284-286).
+
+    The empty-partitionBy variant is a single-task global sort — fine for
+    per-(provider/model) metric streams; pass partition_by for parallel
+    scans at scale.
+    """
+    base = Window.partitionBy(*(partition_by or [])).orderBy(order_col)
+    prev_w = base.rowsBetween(-window_size, -1)
+    curr_w = base.rowsBetween(0, window_size - 1)
+    whole = base.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    v = F.col(value_col).cast("double")
+    stats = (
+        df.where(v.isNotNull())
+        .select(
+            *(partition_by or []),
+            F.col(order_col),
+            F.row_number().over(base).alias("rn"),
+            F.count("*").over(whole).alias("n"),
+            F.avg(v).over(prev_w).alias("expected"),
+            F.coalesce(F.stddev_pop(v).over(prev_w), F.lit(0.0)).alias("prev_std"),
+            F.avg(v).over(curr_w).alias("value"),
+        )
+        .where(
+            (F.col("rn") >= window_size + 1)
+            & (F.col("rn") <= F.col("n") - window_size + 1)
+        )
+    )
+    z = F.when(
+        F.col("prev_std") > 0,
+        F.abs(F.col("value") - F.col("expected")) / F.col("prev_std"),
+    ).otherwise(F.lit(0.0))
+    return (
+        stats.withColumn("z_score", z)
+        .where(F.col("z_score") > z_threshold)
+        .select(
+            *(partition_by or []),
+            order_col,
+            F.col("value").cast("double").alias("value"),
+            F.col("expected").cast("double").alias("expected"),
+            F.col("z_score").cast("double").alias("z_score"),
+            F.when(F.col("value") > F.col("expected"), "increase")
+            .otherwise("decrease")
+            .alias("direction"),
+        )
+    )

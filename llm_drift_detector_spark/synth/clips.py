@@ -53,8 +53,9 @@ VOCAB = (
     "gain level peak wave band mix track channel stereo mono loud "
     "soft fast slow high low deep thin warm cold clean rough"
 ).split()
-# alternate vocabulary for the vocab-swap drift window
-VOCAB_ALT = tuple(w.upper() for w in VOCAB)
+# alternate vocabulary for the vocab-swap drift window (reversed forms —
+# must survive the detector's lowercasing tokenizer, unlike upcased words)
+VOCAB_ALT = tuple(w[::-1] for w in VOCAB)
 
 SR_CHOICES = np.array([8000, 16000, 22050, 44100, 48000])
 CODEC_CHOICES = ("pcm_s16le", "flac", "opus")

@@ -1,0 +1,211 @@
+"""Lexical (C13-C14), performance (C15), rolling z-score (C16) vs pure
+numpy/python re-implementations of the reference formulas."""
+
+from collections import Counter
+
+import numpy as np
+import pytest
+
+from llm_drift_detector_spark.drift import (
+    drift_summary,
+    lexical_drift,
+    performance_drift,
+    rolling_zscore_anomalies,
+    style_features_frame,
+    vocab_difference_frame,
+)
+from llm_drift_detector_spark.synth.clips import SynthParams, drift_params, make_clean_row
+
+BASE = SynthParams(n_rows=120, inject_violations=False)
+
+
+def texts_for(p, n=120):
+    return [make_clean_row(p, i)["transcript"] for i in range(n)]
+
+
+def text_df(spark, texts):
+    return spark.createDataFrame([(t,) for t in texts], "transcript string")
+
+
+# --- python oracle: verbatim reference formulas (semantic.py:335-445) --------
+
+
+def py_lexical_features(texts):
+    tokens = []
+    for t in texts:
+        tokens.extend(t.lower().split())
+    vocab = Counter(tokens)
+    sentence_lengths = []
+    for t in texts:
+        for s in t.split("."):
+            if s.strip():
+                sentence_lengths.append(len(s.split()))
+    return {
+        "vocab": vocab,
+        "avg_length": np.mean(sentence_lengths) if sentence_lengths else 0,
+        "avg_word_length": np.mean([len(tok) for tok in tokens]) if tokens else 0,
+        "token_count": len(tokens),
+        "unique_token_count": len(vocab),
+    }
+
+
+def py_vocab_difference(rv, cv):
+    rw, cw = set(rv), set(cv)
+    union = rw | cw
+    inter = rw & cw
+    jac = 1 - len(inter) / len(union) if union else 0.0
+    common = list(inter)
+    if not common:
+        return jac, jac, 0.0
+    rt, ct = sum(rv.values()), sum(cv.values())
+    p = np.array([rv[w] / rt for w in common])
+    q = np.array([cv[w] / ct for w in common])
+    m = (p + q) / 2
+    js = 0.5 * np.sum(p * np.log(p / m + 1e-10)) + 0.5 * np.sum(q * np.log(q / m + 1e-10))
+    return 0.5 * jac + 0.5 * min(js, 1.0), jac, js
+
+
+def py_style_difference(rf, cf):
+    def nd(a, b):
+        mx = max(a, b)
+        return abs(a - b) / mx if mx > 0 else 0
+    rd = rf["unique_token_count"] / max(rf["token_count"], 1)
+    cd = cf["unique_token_count"] / max(cf["token_count"], 1)
+    return (
+        0.4 * nd(rf["avg_length"], cf["avg_length"])
+        + 0.3 * nd(rf["avg_word_length"], cf["avg_word_length"])
+        + 0.3 * abs(rd - cd)
+    )
+
+
+@pytest.fixture(scope="module")
+def windows(spark):
+    return {
+        "ref": texts_for(BASE),
+        "swap": texts_for(drift_params(BASE, "vocab_swap")),
+        "null": texts_for(drift_params(BASE, "null")),
+    }
+
+
+def test_vocab_difference_matches_reference_formula(spark, windows):
+    for kind in ("swap", "null"):
+        row = vocab_difference_frame(
+            text_df(spark, windows["ref"]), text_df(spark, windows[kind]), "transcript"
+        ).collect()[0]
+        exp_vd, exp_jac, exp_js = py_vocab_difference(
+            py_lexical_features(windows["ref"])["vocab"],
+            py_lexical_features(windows[kind])["vocab"],
+        )
+        assert abs(row.jaccard - exp_jac) < 1e-12
+        assert abs(row.js - exp_js) < 1e-9
+        assert abs(row.vocab_diff - exp_vd) < 1e-9
+
+
+def test_style_features_match_reference_formula(spark, windows):
+    feats = style_features_frame(text_df(spark, windows["ref"]), "transcript").collect()[0]
+    exp = py_lexical_features(windows["ref"])
+    assert abs(feats.avg_sentence_len - exp["avg_length"]) < 1e-9
+    assert abs(feats.avg_word_len - exp["avg_word_length"]) < 1e-9
+    assert feats.token_count == exp["token_count"]
+    assert feats.unique_token_count == exp["unique_token_count"]
+
+
+def test_lexical_drift_trips_on_vocab_swap_only(spark, windows):
+    ref = text_df(spark, windows["ref"])
+    res_swap = lexical_drift(ref, text_df(spark, windows["swap"]))
+    res_null = lexical_drift(ref, text_df(spark, windows["null"]))
+    assert res_swap["drift_detected"]
+    assert not res_null["drift_detected"]
+    # full parity with the reference's 0.6/0.4 combine
+    rf, sf_ = py_lexical_features(windows["ref"]), py_lexical_features(windows["swap"])
+    vd, _, _ = py_vocab_difference(rf["vocab"], sf_["vocab"])
+    exp_score = 0.6 * vd + 0.4 * py_style_difference(rf, sf_)
+    assert abs(res_swap["drift_score"] - exp_score) < 1e-9
+
+
+# --- C16 rolling z-score ------------------------------------------------------
+
+
+def py_zscore_anomalies(values, w=20, z=3.0):
+    out = []
+    for i in range(w, len(values) - w + 1):
+        prev, curr = values[i - w : i], values[i : i + w]
+        ps = np.std(prev)
+        zz = abs(np.mean(curr) - np.mean(prev)) / ps if ps > 0 else 0
+        if zz > z:
+            out.append((i, round(float(zz), 9)))
+    return out
+
+
+def test_rolling_zscore_matches_reference_loop(spark):
+    rng = np.random.default_rng(3)
+    vals = np.concatenate([rng.normal(10, 1, 60), rng.normal(30, 1, 60)])
+    df = spark.createDataFrame(
+        [(int(i), float(v)) for i, v in enumerate(vals)], "idx int, v double"
+    )
+    got = rolling_zscore_anomalies(df, "v", "idx").orderBy("idx").collect()
+    exp = py_zscore_anomalies(vals)
+    assert [(r.idx, round(r.z_score, 9)) for r in got] == exp
+    assert all(r.direction == "increase" for r in got)
+    assert len(exp) > 0  # the step must actually be caught
+
+
+def test_rolling_zscore_no_anomaly_on_stationary(spark):
+    rng = np.random.default_rng(4)
+    vals = rng.normal(10, 1, 120)
+    df = spark.createDataFrame(
+        [(int(i), float(v)) for i, v in enumerate(vals)], "idx int, v double"
+    )
+    assert rolling_zscore_anomalies(df, "v", "idx").count() == len(
+        py_zscore_anomalies(vals)
+    )
+
+
+# --- C15 performance drift ----------------------------------------------------
+
+
+def test_performance_drift_formulas(spark):
+    rng = np.random.default_rng(5)
+    ref_v = rng.normal(1.0, 0.1, 200)
+    cur_v = rng.normal(1.4, 0.1, 200)  # +40% -> drift 0.8, detected
+    ref = spark.createDataFrame([(float(x), "ok") for x in ref_v], "response_time double, status string")
+    cur = spark.createDataFrame(
+        [(float(x), "error" if i < 20 else "ok") for i, x in enumerate(cur_v)],
+        "response_time double, status string",
+    )
+    import pyspark.sql.functions as F
+
+    res = performance_drift(
+        ref,
+        cur,
+        metrics=[
+            {"name": "response_time", "upper_threshold": 5.0, "lower_threshold": 0.1},
+            {"name": "error_rate", "upper_threshold": 0.05},
+        ],
+        error_condition=F.col("status") == "error",
+    )
+    rt = res["metrics"]["response_time"]
+    exp_rel = (cur_v.mean() - ref_v.mean()) / ref_v.mean()
+    assert abs(rt["relative_change"] - exp_rel) < 1e-9
+    assert abs(rt["drift_score"] - min(abs(exp_rel) / 0.5, 1.0)) < 1e-9
+    assert rt["drift_detected"] and rt["statistically_significant"]
+    er = res["metrics"]["error_rate"]
+    assert abs(er["current_value"] - 0.1) < 1e-12
+    assert er["relative_change"] == 0.1 * 100  # ref rate 0 -> x100 rule
+    assert er["drift_detected"]
+
+
+def test_drift_summary_status(spark):
+    rows = [
+        ("ks_test", "dur_ms", 0.9, True),
+        ("ks_test", "dur_ms", 0.2, False),
+        ("js", "dur_ms", 0.1, False),
+    ]
+    import pyspark.sql.functions as F
+
+    m = spark.createDataFrame(
+        rows, "detector_name string, column string, drift_score double, drift_detected boolean"
+    ).withColumn("timestamp", F.current_timestamp())
+    s = {r.detector_name: r for r in drift_summary(m).collect()}
+    assert s["ks_test"].status == "critical" and s["ks_test"].max_drift_score == 0.9
+    assert s["js"].status == "normal"

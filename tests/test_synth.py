@@ -76,8 +76,11 @@ def test_drift_windows_shift_only_what_they_claim():
     d_shift = np.array([make_clean_row(shifted, i)["dur_ms"] for i in range(200)])
     assert d_shift.mean() > d_base.mean() * 1.1
 
+    from llm_drift_detector_spark.synth.clips import VOCAB, VOCAB_ALT
+
+    alt_only = set(VOCAB_ALT) - set(VOCAB)
     swapped = drift_params(base, "vocab_swap")
     t = make_clean_row(swapped, 3)["transcript"]
-    assert any(w.isupper() for w in t.split())
+    assert any(w in alt_only for w in t.split())
     t0 = make_clean_row(drift_params(base, "null"), 3)["transcript"]
-    assert not any(w.isupper() for w in t0.split())
+    assert not any(w in alt_only for w in t0.split())
