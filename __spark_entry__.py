@@ -55,6 +55,24 @@ from llm_drift_detector_spark.drift import (
 )
 from llm_drift_detector_spark.synth import ensure_synth, synth_dir_for
 from llm_drift_detector_spark.synth.clips import ensure_synth_local
+from llm_drift_detector_spark.textops import (
+    exact_duplicates,
+    fingerprint,
+    language_id,
+    minhash_signatures,
+    quality_scores,
+    shingles,
+    simhash_signatures,
+    token_counts_frame,
+    topk_brute,
+    topk_lsh,
+)
+
+import numpy as np
+
+# fixed ANN query vector (seeded; embedded as literals in the oracle SQL)
+_ANN_QUERY = np.random.default_rng(7).standard_normal(64)
+SIMHASH_BITS = 24  # keep the generated oracle SQL a sane size
 
 # fixed split + pinned bin count for the events drift queries: the Rice
 # rule's ceil(2*n^(1/3)) can round differently across engines when n^(1/3)
@@ -166,6 +184,58 @@ def q_referential_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame
     o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("clip_id"))
     c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("clip_id"))
     return orphans(c, o).select(F.col("clip_id").cast("bigint").alias("orphan_key"))
+
+
+def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + 5 re-appended rows: deterministic duplicate injection
+    done identically in the oracle SQL (driver documents are unique)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.unionAll(d.orderBy("doc_id").limit(5))
+
+
+def q_dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_duplicates(_docs_with_dups(spark, sf_dir), "doc_id", "text").orderBy(
+        "id"
+    )
+
+
+def q_dedup_minhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    return minhash_signatures(shingles(d, "doc_id", "text"), k=8).orderBy("id")
+
+
+def q_dedup_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 30)
+    return simhash_signatures(d, "doc_id", "text", bits=SIMHASH_BITS).orderBy("id")
+
+
+def q_langid_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return _round(language_id(d, "doc_id", "text"), 6).orderBy("id")
+
+
+def q_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return _round(quality_scores(d, "doc_id", "text"), 6).orderBy("id")
+
+
+def q_token_counts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_counts_frame(_t(spark, sf_dir, "documents"), "doc_id", "text").orderBy("id")
+
+
+def q_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprint(_t(spark, sf_dir, "documents"), "doc_id", "text").orderBy("id")
+
+
+def q_similarity_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return _round(topk_brute(e, "vec_id", "embedding", _ANN_QUERY, k=10), 6)
+
+
+def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN — rows-only (recall vs brute is pytest-verified)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return _round(topk_lsh(e, "vec_id", "embedding", _ANN_QUERY, k=10), 6)
 
 
 def q_lexical_vocab_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -370,6 +440,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_codec_whitelist": q_clips_codec_whitelist,
         "clips_orphan_clips": q_clips_orphan_clips,
         "clips_orphan_transcripts": q_clips_orphan_transcripts,
+        "dedup_exact_documents": q_dedup_exact_documents,
+        "dedup_minhash_documents": q_dedup_minhash_documents,
+        "dedup_simhash_documents": q_dedup_simhash_documents,
+        "langid_documents": q_langid_documents,
+        "quality_documents": q_quality_documents,
+        "token_counts_documents": q_token_counts_documents,
+        "fingerprint_documents": q_fingerprint_documents,
+        "similarity_topk_embeddings": q_similarity_topk_embeddings,
+        "similarity_lsh_topk": q_similarity_lsh_topk,
         "lexical_vocab_documents": q_lexical_vocab_documents,
         "style_features_documents": q_style_features_documents,
         "vocab_term_freq_documents": q_vocab_term_freq_documents,
@@ -550,6 +629,122 @@ _DOC_TOKENS = (
     "WHERE {where} AND t.token <> ''"
 )
 
+_TOKLIST = "list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')"
+_DOC_ID_TOKENS = (
+    "SELECT doc_id, t.token FROM documents, "
+    f"unnest({_TOKLIST}) AS t(token) WHERE {{where}}"
+)
+_EN_SET = "('the','a','of','and','to','in','is','it','that','for')"
+
+
+def _dedup_exact_sql() -> str:
+    return """
+    WITH d AS (SELECT * FROM documents
+               UNION ALL (SELECT * FROM documents ORDER BY doc_id LIMIT 5)),
+    w AS (SELECT doc_id AS id, md5(text) AS dup_group FROM d),
+    c AS (SELECT dup_group, count(*) AS group_size FROM w GROUP BY dup_group)
+    SELECT id, w.dup_group, group_size FROM w JOIN c USING (dup_group)
+    WHERE group_size > 1 ORDER BY id
+    """
+
+
+def _minhash_sql(k: int = 8) -> str:
+    mins = ", ".join(
+        f"min(md5('{i}|' || shingle)) AS m{i}" for i in range(k)
+    )
+    return f"""
+    WITH docs AS (SELECT doc_id, {_TOKLIST} AS toks FROM documents WHERE doc_id < 50),
+    sh AS (SELECT DISTINCT doc_id,
+                  array_to_string(toks[s.s : s.s + 2], ' ') AS shingle
+           FROM docs, unnest(range(1, GREATEST(len(toks) - 2, 1) + 1)) AS s(s)),
+    shf AS (SELECT doc_id, shingle FROM sh WHERE shingle <> '')
+    SELECT doc_id AS id, {mins} FROM shf GROUP BY doc_id ORDER BY id
+    """
+
+
+def _simhash_sql(bits: int) -> str:
+    sums = ", ".join(
+        "sum(CASE WHEN CAST(floor((strpos('0123456789abcdef', "
+        f"substr(h, {i // 4 + 1}, 1)) - 1) / {2 ** (i % 4)}) AS INT) % 2 = 1 "
+        f"THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(bits)
+    )
+    sig = " + ".join(f"CASE WHEN s{i} > 0 THEN {2 ** i} ELSE 0 END" for i in range(bits))
+    toks = _DOC_ID_TOKENS.format(where="doc_id < 30")
+    return f"""
+    WITH toks AS (SELECT doc_id, md5(token) AS h FROM ({toks})),
+    s AS (SELECT doc_id, {sums} FROM toks GROUP BY doc_id)
+    SELECT doc_id AS id, CAST({sig} AS BIGINT) AS simhash FROM s ORDER BY id
+    """
+
+
+def _langid_sql() -> str:
+    from llm_drift_detector_spark.textops.quality import STOPWORDS
+
+    toks = _DOC_ID_TOKENS.format(where="TRUE")
+    ratio_cols = ", ".join(
+        f"sum(CASE WHEN token IN ({', '.join(repr(w) for w in words)}) THEN 1 ELSE 0 END) * 1.0 / count(*) AS {lang}"
+        for lang, words in sorted(STOPWORDS.items())
+    )
+    unp = " UNION ALL ".join(
+        f"SELECT doc_id, '{lang}' AS lang, {lang} AS score FROM r"
+        for lang in sorted(STOPWORDS)
+    )
+    return f"""
+    WITH toks AS ({toks}),
+    r AS (SELECT doc_id, {ratio_cols} FROM toks GROUP BY doc_id),
+    unp AS ({unp}),
+    best AS (SELECT doc_id, lang, score,
+                    row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, lang DESC) AS rn
+             FROM unp)
+    SELECT doc_id AS id, lang, ROUND(score, 6) AS lang_score
+    FROM best WHERE rn = 1 ORDER BY id
+    """
+
+
+def _quality_sql() -> str:
+    toks = _DOC_ID_TOKENS.format(where="TRUE")
+    return f"""
+    WITH toks AS ({toks}),
+    t AS (SELECT doc_id, count(*) AS n_tokens,
+                 avg(CASE WHEN token IN {_EN_SET} THEN 1.0 ELSE 0.0 END) AS stop_ratio,
+                 avg(length(token)) AS mean_word_len
+          FROM toks GROUP BY doc_id),
+    b AS (SELECT doc_id, length(text) AS n_chars,
+                 (length(text) - length(regexp_replace(lower(text), '[.!?,;:]', '', 'g')))
+                 * 1.0 / GREATEST(length(text), 1) AS punct_ratio
+          FROM documents)
+    SELECT b.doc_id AS id, n_chars::BIGINT AS n_chars, n_tokens::BIGINT AS n_tokens,
+           ROUND(punct_ratio, 6) AS punct_ratio,
+           ROUND(stop_ratio, 6) AS stop_ratio,
+           ROUND(mean_word_len, 6) AS mean_word_len,
+           ROUND(0.3 * LEAST(n_tokens / 50.0, 1.0)
+               + 0.3 * (1.0 - LEAST(punct_ratio * 10.0, 1.0))
+               + 0.2 * LEAST(stop_ratio * 5.0, 1.0)
+               + 0.2 * LEAST(mean_word_len / 8.0, 1.0), 6) AS quality
+    FROM b JOIN t USING (doc_id) ORDER BY id
+    """
+
+
+def _ann_topk_sql(k: int = 10) -> str:
+    vals = ", ".join(
+        f"({i + 1}, CAST({float(v)!r} AS DOUBLE))" for i, v in enumerate(_ANN_QUERY)
+    )
+    return f"""
+    WITH q(i, qv) AS (VALUES {vals}),
+    qn AS (SELECT sqrt(sum(qv * qv)) AS qn FROM q),
+    terms AS (SELECT vec_id, sum(embedding[q.i] * q.qv) AS dot,
+                     sqrt(sum(embedding[q.i] * embedding[q.i])) AS rnorm
+              FROM embeddings, q WHERE embedding IS NOT NULL GROUP BY vec_id),
+    cosd AS (SELECT vec_id AS id,
+                    CASE WHEN rnorm > 0 AND (SELECT qn FROM qn) > 0
+                         THEN dot / (rnorm * (SELECT qn FROM qn)) ELSE -1.0 END AS cosine
+             FROM terms)
+    SELECT id, ROUND(cosine, 6) AS cosine FROM cosd
+    ORDER BY cosine DESC, id LIMIT {k}
+    """
+
 
 def _vocab_diff_sql(ref_where: str, cur_where: str) -> str:
     rt = _DOC_TOKENS.format(where=ref_where)
@@ -675,6 +870,24 @@ def oracle_sql() -> dict[str, str]:
         "drift_wasserstein_events": _wasserstein_sql(_EVENTS_REF, _EVENTS_CUR),
         "drift_welch_t_events": _welch_t_sql(_EVENTS_REF, _EVENTS_CUR),
         "drift_psi_quantile_events": _psi_quantile_sql(_EVENTS_REF, _EVENTS_CUR, 10),
+        "dedup_exact_documents": _dedup_exact_sql(),
+        "dedup_minhash_documents": _minhash_sql(8),
+        "dedup_simhash_documents": _simhash_sql(SIMHASH_BITS),
+        "langid_documents": _langid_sql(),
+        "quality_documents": _quality_sql(),
+        "token_counts_documents": f"""
+            SELECT doc_id AS id, len({_TOKLIST})::BIGINT AS ws_tokens,
+                   len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]'))::BIGINT
+                   AS wordish_tokens
+            FROM documents ORDER BY id
+        """,
+        "fingerprint_documents": f"""
+            SELECT doc_id AS id,
+                   md5(array_to_string(list_sort(list_distinct({_TOKLIST})), ' '))
+                   AS fingerprint
+            FROM documents ORDER BY id
+        """,
+        "similarity_topk_embeddings": _ann_topk_sql(10),
         "lexical_vocab_documents": _vocab_diff_sql("d.lang = 'en'", "d.lang <> 'en'"),
         "style_features_documents": _style_features_sql(),
         "vocab_term_freq_documents": f"""

@@ -1,0 +1,129 @@
+"""Benchmark harness — one JSON line to stdout.
+
+Runs the engine's headline jobs at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]:
+
+  validate_full   all 8 checks incl. the mapInPandas audio decoder over
+                  the synthetic clips table (the north-rule job; the
+                  reported clips_per_sec derives from this)
+  stats_profile   per-column stats sketch over clips
+  js_psi          JS + PSI, clips dur_ms vs reference window
+  ks_exact        exact two-sample KS over events.value
+  embedding       centroid-cosine drift over transcript embeddings
+  lexical         vocabulary difference over transcripts
+
+Output: {"metric": "...", "value": <total sec>, "unit": "sec",
+         "queries": {name: sec}, "sf": ..., "clips_per_sec": ...}
+
+The two-cluster-size scaling evidence (local[8] vs local[32]) lives in
+tools/scaling_bench.py -> BENCH/BASELINE.md; this file is the per-round
+driver hook and uses ONE parallelism level.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from llm_drift_detector_spark.drift import (  # noqa: E402
+    centroid_cosine_frame,
+    js_psi_frame,
+    ks_frame,
+    psi_frame,
+    vocab_difference_frame,
+)
+from llm_drift_detector_spark.checks import profile  # noqa: E402
+from llm_drift_detector_spark.config import SKETCH  # noqa: E402
+from llm_drift_detector_spark.pipeline import violations_frame  # noqa: E402
+from llm_drift_detector_spark.session import get_spark  # noqa: E402
+from llm_drift_detector_spark.synth import ensure_synth  # noqa: E402
+from llm_drift_detector_spark.synth.clips import EMBED_DIM  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    spark = get_spark(
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 16),
+        app_name="llm-drift-bench",
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    root = ensure_synth(spark, sf_dir, partitions=cpus)
+    clips = spark.read.parquet(f"{root}/clips")
+    tr = spark.read.parquet(f"{root}/transcripts")
+    ref = spark.read.parquet(f"{root}/clips_reference")
+    tr_ref = spark.read.parquet(f"{root}/transcripts_reference")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    n_clips = clips.count()
+    timings: dict[str, float] = {}
+
+    def run(name, thunk):
+        t0 = time.time()
+        thunk()
+        timings[name] = round(time.time() - t0, 3)
+
+    run(
+        "validate_full",
+        lambda: violations_frame(clips, tr, ref)
+        .groupBy("check_name")
+        .count()
+        .collect(),
+    )
+    run("stats_profile", lambda: profile(clips, ["sr_hz", "dur_ms"], SKETCH).collect())
+    run(
+        "js_psi",
+        lambda: (
+            js_psi_frame(ref.select("dur_ms"), clips.select("dur_ms"), "dur_ms").collect(),
+            psi_frame(ref.select("dur_ms"), clips.select("dur_ms"), "dur_ms", mode=SKETCH).collect(),
+        ),
+    )
+    run(
+        "ks_exact",
+        lambda: ks_frame(
+            events.where(F.col("event_type") == "view").select("value"),
+            events.where(F.col("event_type") != "view").select("value"),
+            "value",
+        ).collect(),
+    )
+    run(
+        "embedding",
+        lambda: centroid_cosine_frame(
+            tr_ref.select("embedding"), tr.select("embedding"), "embedding", EMBED_DIM
+        ).collect(),
+    )
+    run(
+        "lexical",
+        lambda: vocab_difference_frame(
+            tr_ref.select("transcript"), tr.select("transcript"), "transcript"
+        ).collect(),
+    )
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "validation+drift suite wall-clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+                "clips": n_clips,
+                "clips_per_sec": round(n_clips / timings["validate_full"], 1),
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,1 +1,1 @@
-from .runner import RunConfig, run_validation  # noqa: F401
+from .runner import RunConfig, run_validation, violations_frame  # noqa: F401

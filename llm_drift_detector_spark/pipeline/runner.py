@@ -71,6 +71,19 @@ class RunConfig:
     salt: int = 0
 
 
+def violations_frame(
+    clips: DataFrame,
+    transcripts: DataFrame,
+    reference: DataFrame,
+    cfg: RunConfig | None = None,
+) -> DataFrame:
+    """All violation rows for the full input — the single-job variant
+    (bench + ad-hoc use; the checkpointed path goes through
+    run_validation's bucket groups)."""
+    cfg = cfg or RunConfig(run_id="adhoc", out_dir="/tmp/adhoc")
+    return _violations_for_group(clips, transcripts, reference, cfg)
+
+
 def _violations_for_group(
     clips_g: DataFrame, transcripts_g: DataFrame, reference_g: DataFrame, cfg: RunConfig
 ) -> DataFrame:

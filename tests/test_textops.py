@@ -1,0 +1,177 @@
+"""textops vs pure-python/numpy oracles: dedup, quality, similarity."""
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from llm_drift_detector_spark.textops import (
+    cosine_near_duplicates,
+    exact_duplicates,
+    fingerprint,
+    language_id,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    quality_scores,
+    shingles,
+    simhash_signatures,
+    token_counts_frame,
+    topk_brute,
+    topk_lsh,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog near the old river bank"),
+    (1, "the quick brown fox jumps over the lazy dog near the old river bend"),  # near-dup of 0
+    (2, "completely different content about spark shuffle partitions and joins"),
+    (3, "the quick brown fox jumps over the lazy dog near the old river bank"),  # exact dup of 0
+    (4, "le chat et le chien de la maison en les champs du village"),
+    (5, "short text"),
+]
+
+
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id bigint, text string")
+
+
+def py_shingles(text, n=3):
+    toks = [t for t in text.lower().split() if t]
+    if len(toks) <= n:
+        return {" ".join(toks[:n])} if toks else set()
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def test_exact_duplicates(spark):
+    got = exact_duplicates(docs_df(spark), "doc_id", "text").collect()
+    ids = {r.id for r in got}
+    assert ids == {0, 3}
+    assert all(r.group_size == 2 for r in got)
+
+
+def test_shingles_match_python(spark):
+    got = shingles(docs_df(spark), "doc_id", "text").collect()
+    by_id = {}
+    for r in got:
+        by_id.setdefault(r.id, set()).add(r.shingle)
+    for i, t in DOCS:
+        assert by_id.get(i, set()) == py_shingles(t), i
+
+
+def test_minhash_signature_matches_python_md5(spark):
+    sh = shingles(docs_df(spark), "doc_id", "text")
+    sig = {r.id: r for r in minhash_signatures(sh, k=8).collect()}
+    for i, t in DOCS:
+        ss = py_shingles(t)
+        for seed in range(8):
+            exp = min(hashlib.md5(f"{seed}|{s}".encode()).hexdigest() for s in ss)
+            assert sig[i][f"m{seed}"] == exp
+
+
+def test_lsh_groups_exact_dups_and_verify_jaccard(spark):
+    sh = shingles(docs_df(spark), "doc_id", "text")
+    sig = minhash_signatures(sh, k=8)
+    cand = minhash_lsh_candidates(sig, k=8, bands=4)
+    buckets = {}
+    for r in cand.collect():
+        buckets.setdefault((r.band, r.band_sig), set()).add(r.id)
+    assert any(v >= {0, 3} for v in buckets.values())  # exact dups always collide
+    verified = ngram_jaccard_pairs(sh, min_jaccard=0.5, candidates=cand).collect()
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in verified}
+    assert pairs.get((0, 3)) == 1.0
+    if (0, 1) in pairs:  # near-dup: jaccard from python oracle
+        s0, s1 = py_shingles(DOCS[0][1]), py_shingles(DOCS[1][1])
+        assert abs(pairs[(0, 1)] - len(s0 & s1) / len(s0 | s1)) < 1e-12
+
+
+def py_simhash(text, bits=60):
+    sums = [0] * bits
+    for tok in text.lower().split():
+        if not tok:
+            continue
+        h = hashlib.md5(tok.encode()).hexdigest()
+        for i in range(bits):
+            digit = int(h[i // 4], 16)
+            bit = (digit >> (i % 4)) & 1
+            sums[i] += 1 if bit else -1
+    return sum(2**i for i in range(bits) if sums[i] > 0)
+
+
+def test_simhash_matches_python(spark):
+    got = {r.id: r.simhash for r in simhash_signatures(docs_df(spark), "doc_id", "text").collect()}
+    for i, t in DOCS:
+        assert got[i] == py_simhash(t), i
+    assert got[0] == got[3]  # exact dups -> identical signature
+
+
+def test_language_id(spark):
+    got = {r.id: r.lang for r in language_id(docs_df(spark), "doc_id", "text").collect()}
+    assert got[0] == "en" and got[3] == "en"
+    assert got[4] == "fr"
+
+
+def test_quality_scores_formula(spark):
+    r = {x.id: x for x in quality_scores(docs_df(spark), "doc_id", "text").collect()}[0]
+    text = DOCS[0][1]
+    toks = text.lower().split()
+    assert r.n_chars == len(text)
+    assert r.n_tokens == len(toks)
+    en = ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
+    stop = sum(1 for t in toks if t in en) / len(toks)
+    assert abs(r.stop_ratio - stop) < 1e-12
+    mwl = sum(len(t) for t in toks) / len(toks)
+    assert abs(r.mean_word_len - mwl) < 1e-12
+    exp_q = (
+        0.3 * min(len(toks) / 50, 1)
+        + 0.3 * (1 - min(r.punct_ratio * 10, 1))
+        + 0.2 * min(stop * 5, 1)
+        + 0.2 * min(mwl / 8, 1)
+    )
+    assert abs(r.quality - exp_q) < 1e-9
+
+
+def test_token_counts_and_fingerprint(spark):
+    tc = {r.id: r for r in token_counts_frame(docs_df(spark), "doc_id", "text").collect()}
+    assert tc[5].ws_tokens == 2
+    fp = {r.id: r.fingerprint for r in fingerprint(docs_df(spark), "doc_id", "text").collect()}
+    assert fp[0] == fp[3]
+    # word-order insensitivity
+    import pyspark.sql.functions as F  # noqa: F401
+
+    shuffled = spark.createDataFrame(
+        [(9, " ".join(reversed(DOCS[0][1].split())))], "doc_id bigint, text string"
+    )
+    fp9 = fingerprint(shuffled, "doc_id", "text").collect()[0].fingerprint
+    assert fp9 == fp[0]
+
+
+def test_topk_brute_matches_numpy(spark):
+    rng = np.random.default_rng(2)
+    m = rng.standard_normal((200, 16))
+    q = rng.standard_normal(16)
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(m.astype(float))],
+        "vec_id bigint, embedding array<double>",
+    )
+    got = topk_brute(df, "vec_id", "embedding", q, k=5).collect()
+    cos = m @ q / (np.linalg.norm(m, axis=1) * np.linalg.norm(q))
+    exp = np.argsort(-cos)[:5]
+    assert [r.id for r in got] == exp.tolist()
+    assert all(abs(r.cosine - cos[r.id]) < 1e-9 for r in got)
+
+
+def test_topk_lsh_recall_and_near_duplicates(spark):
+    rng = np.random.default_rng(3)
+    m = rng.standard_normal((300, 16))
+    m[42] = m[7] + rng.standard_normal(16) * 0.01  # planted near-dup
+    q = m[7]
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(m.astype(float))],
+        "vec_id bigint, embedding array<double>",
+    )
+    lsh = topk_lsh(df, "vec_id", "embedding", q, k=3)
+    ids = [r.id for r in lsh.collect()]
+    assert 7 in ids and 42 in ids  # query's own bucket holds the near-dups
+    nd = cosine_near_duplicates(df, "vec_id", "embedding", threshold=0.98)
+    pairs = {(r.id_a, r.id_b) for r in nd.collect()}
+    assert (7, 42) in pairs
