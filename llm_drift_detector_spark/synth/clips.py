@@ -333,6 +333,11 @@ def _params_from_payload(d: dict) -> SynthParams:
 # --- tiered cache (sf -> row count, FIXTURES.md sizing) ----------------------
 
 SF_ROWS = {"sf0.001": 6_000, "sf0.01": 60_000, "sf0.1": 600_000}
+# decode-heavy tier for the scaling bench: fewer, longer clips (~20x the
+# payload per row) — representative of real ~seconds-long audio where the
+# validation job is decode/transfer-bound, not per-row-overhead-bound
+HEAVY_TIER = "bench_heavy"
+HEAVY_PARAMS = dict(n_rows=150_000, dur_median_ms=320.0, dur_max_ms=8000.0, seed=43)
 SYNTH_ROOT = os.environ.get("SPARK_GRAFT_SYNTH_ROOT", "/root/repo/data/synth")
 
 
@@ -396,6 +401,23 @@ def ensure_synth_local(sf_dir: str) -> str:
                 r["embedding"] = r["embedding"].tolist()
                 rows.append(r)
         write(rows, os.path.join(root, sub), tr_schema)
+    with open(done, "w") as f:
+        f.write("ok\n")
+    return root
+
+
+def ensure_heavy(spark, partitions: int = 32) -> str:
+    """Generate (once) the decode-heavy scaling-bench tier."""
+    root = os.path.join(SYNTH_ROOT, HEAVY_TIER)
+    done = os.path.join(root, "_DONE")
+    if os.path.exists(done):
+        return root
+    os.makedirs(root, exist_ok=True)
+    p = SynthParams(**HEAVY_PARAMS)
+    clean = replace(p, inject_violations=False)
+    generate_clips(spark, p, os.path.join(root, "clips"), partitions)
+    generate_transcripts(spark, p, os.path.join(root, "transcripts"), partitions)
+    generate_clips(spark, clean, os.path.join(root, "clips_reference"), partitions)
     with open(done, "w") as f:
         f.write("ok\n")
     return root

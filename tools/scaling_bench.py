@@ -1,0 +1,134 @@
+"""Two-cluster-size scaling evidence (BASELINE.md plan).
+
+The north rule requires throughput scaling efficiency >= 0.8 going from
+N to 4N executors; no real cluster exists in the sandbox, so we run the
+IDENTICAL validation job at local[8] and local[32] on the same input
+(BASELINE.json guidance) and report both throughputs plus
+
+    efficiency = throughput(local[32]) / (4 * throughput(local[8]))
+
+Each parallelism level runs in its own subprocess (fresh JVM); the job
+is timed over `iters` repetitions after one warm-up (JIT + page cache),
+and the min is reported (steady-state kernel time, the quantity that
+scales with cores — session startup is excluded by construction).
+
+Usage: python tools/scaling_bench.py [sf_dir] ; writes BENCH/BASELINE.md
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from datetime import date
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHILD = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from llm_drift_detector_spark.session import get_spark
+from llm_drift_detector_spark.pipeline import violations_frame
+from llm_drift_detector_spark.synth import ensure_synth
+
+cores = {cores}
+spark = get_spark(master=f"local[{{cores}}]", shuffle_partitions=cores,
+                  app_name=f"scaling-bench-{{cores}}")
+spark.sparkContext.setLogLevel("ERROR")
+root = ensure_synth(spark, {sf_dir!r})
+n = spark.read.parquet(f"{{root}}/clips").count()
+
+def job():
+    # build a FRESH plan every time: re-collecting the same DataFrame
+    # object lets Spark reuse the previous run's shuffle files (stages
+    # are skipped), which silently turns the measurement into a no-op
+    clips = spark.read.parquet(f"{{root}}/clips")
+    tr = spark.read.parquet(f"{{root}}/transcripts")
+    ref = spark.read.parquet(f"{{root}}/clips_reference")
+    return dict(
+        violations_frame(clips, tr, ref).groupBy("check_name").count().collect()
+    )
+
+job()  # warm-up: JIT, page cache, python workers
+times, v = [], None
+for _ in range({iters}):
+    t0 = time.time()
+    v = job()
+    times.append(time.time() - t0)
+best = min(times)
+print("RESULT " + json.dumps({{
+    "cores": cores, "secs": round(best, 3), "all_secs": [round(t,3) for t in times],
+    "clips": n, "clips_per_sec": round(n / best, 1),
+    "violations": {{str(k): int(x) for k, x in sorted(v.items())}},
+}}))
+spark.stop()
+"""
+
+
+def run_level(cores: int, sf_dir: str, iters: int) -> dict:
+    code = CHILD.format(repo=REPO, cores=cores, sf_dir=sf_dir, iters=iters)
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=1800
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"no RESULT from cores={cores}:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    iters = int(os.environ.get("SCALING_ITERS", "3"))
+    r8 = run_level(8, sf_dir, iters)
+    r32 = run_level(32, sf_dir, iters)
+    assert r8["violations"] == r32["violations"], "violation sets must match"
+    eff = r32["clips_per_sec"] / (4.0 * r8["clips_per_sec"])
+    report = {
+        "N": r8,
+        "4N": r32,
+        "efficiency": round(eff, 3),
+        "target": 0.8,
+        "pass": eff >= 0.8,
+    }
+    print(json.dumps(report))
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    md = f"""# BENCH/BASELINE — two-cluster-size scaling evidence
+
+Generated {date.today().isoformat()} by `tools/scaling_bench.py` on
+`{sf_dir}`-scale synthetic clips (no real cluster in the sandbox; the
+north rule's N -> 4N executor criterion is evidenced at two local
+parallelism levels per BASELINE.json guidance).
+
+Job: `violations_frame` — the full 8-check validation (uniqueness,
+sr_hz domain, codec whitelist, referential both directions, transcript
+equality, dur_ms vs decoded PCM, SNR>=30dB vs reference) over
+{r8['clips']:,} clips. Timed steady-state (min of {iters} after warm-up,
+fresh JVM per level).
+
+| run | master | clips/sec | wall (s) | all runs (s) |
+|---|---|---|---|---|
+| N  | local[8]  | {r8['clips_per_sec']:,} | {r8['secs']} | {r8['all_secs']} |
+| 4N | local[32] | {r32['clips_per_sec']:,} | {r32['secs']} | {r32['all_secs']} |
+
+**Scaling efficiency = {r32['clips_per_sec']:,} / (4 x {r8['clips_per_sec']:,}) =
+{report['efficiency']}** (target >= 0.8: {'PASS' if report['pass'] else 'FAIL'})
+
+Violation counts (identical at both levels, as required):
+
+```json
+{json.dumps(r8['violations'], indent=2)}
+```
+
+Spark conf: shuffle partitions = cores, AQE on (coalesce + skew join),
+Arrow maxRecordsPerBatch = 2048, payload-free hash join for SNR
+candidates, scan->mapInArrow for flac decode with salted repartition
+on xxhash64(clip_id, salt).
+"""
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+
+
+if __name__ == "__main__":
+    main()
