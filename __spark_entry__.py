@@ -193,6 +193,29 @@ def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.unionAll(d.orderBy("doc_id").limit(5))
 
 
+def q_perplexity_unigram_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C11 stand-in: per-doc perplexity under the en-docs unigram LM."""
+    from llm_drift_detector_spark.drift.semantic import unigram_perplexities
+
+    d = _t(spark, sf_dir, "documents")
+    ref = d.where(F.col("lang") == "en").select(F.col("text").alias("transcript"))
+    out = unigram_perplexities(
+        ref,
+        d.select("doc_id", F.col("text").alias("transcript")),
+        "transcript",
+        id_col="doc_id",
+    )
+    return _round(out.withColumnRenamed("_doc", "id"), 6).orderBy("id")
+
+
+def q_topic_histogram_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9/C12 stand-in: argmax-dim topic distribution of embeddings."""
+    from llm_drift_detector_spark.drift.semantic import assign_topics, topic_histogram
+
+    e = _t(spark, sf_dir, "embeddings")
+    return _round(topic_histogram(assign_topics(e, "embedding")), 6).orderBy("topic")
+
+
 def q_dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_duplicates(_docs_with_dups(spark, sf_dir), "doc_id", "text").orderBy(
         "id"
@@ -440,6 +463,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_codec_whitelist": q_clips_codec_whitelist,
         "clips_orphan_clips": q_clips_orphan_clips,
         "clips_orphan_transcripts": q_clips_orphan_transcripts,
+        "perplexity_unigram_documents": q_perplexity_unigram_documents,
+        "topic_histogram_embeddings": q_topic_histogram_embeddings,
         "dedup_exact_documents": q_dedup_exact_documents,
         "dedup_minhash_documents": q_dedup_minhash_documents,
         "dedup_simhash_documents": q_dedup_simhash_documents,
@@ -635,6 +660,32 @@ _DOC_ID_TOKENS = (
     f"unnest({_TOKLIST}) AS t(token) WHERE {{where}}"
 )
 _EN_SET = "('the','a','of','and','to','in','is','it','that','for')"
+
+
+def _perplexity_sql() -> str:
+    ref_toks = _DOC_ID_TOKENS.format(where="lang = 'en'")
+    all_toks = _DOC_ID_TOKENS.format(where="TRUE")
+    return f"""
+    WITH lm AS (SELECT token, count(*) AS cnt FROM ({ref_toks}) GROUP BY token),
+    tot AS (SELECT sum(cnt)::DOUBLE + count(*)::DOUBLE AS denom FROM lm),
+    dt AS (SELECT doc_id, token FROM ({all_toks})),
+    lp AS (SELECT dt.doc_id,
+                  ln((COALESCE(lm.cnt, 0) + 1.0) / (SELECT denom FROM tot)) AS logp
+           FROM dt LEFT JOIN lm ON dt.token = lm.token)
+    SELECT doc_id AS id, ROUND(exp(-avg(logp)), 6) AS perplexity
+    FROM lp GROUP BY doc_id ORDER BY id
+    """
+
+
+def _topic_hist_sql() -> str:
+    return """
+    WITH t AS (SELECT CAST(list_position(embedding,
+                     list_aggregate(embedding, 'max')) - 1 AS INT) AS topic
+               FROM embeddings),
+    c AS (SELECT topic, count(*) AS cnt FROM t GROUP BY topic)
+    SELECT topic, ROUND(cnt * 1.0 / (SELECT sum(cnt) FROM c), 6) AS p
+    FROM c ORDER BY topic
+    """
 
 
 def _dedup_exact_sql() -> str:
@@ -870,6 +921,8 @@ def oracle_sql() -> dict[str, str]:
         "drift_wasserstein_events": _wasserstein_sql(_EVENTS_REF, _EVENTS_CUR),
         "drift_welch_t_events": _welch_t_sql(_EVENTS_REF, _EVENTS_CUR),
         "drift_psi_quantile_events": _psi_quantile_sql(_EVENTS_REF, _EVENTS_CUR, 10),
+        "perplexity_unigram_documents": _perplexity_sql(),
+        "topic_histogram_embeddings": _topic_hist_sql(),
         "dedup_exact_documents": _dedup_exact_sql(),
         "dedup_minhash_documents": _minhash_sql(8),
         "dedup_simhash_documents": _simhash_sql(SIMHASH_BITS),

@@ -174,17 +174,79 @@ def _snr_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         yield from _emit(rows)
 
 
+def _deep_validate_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    """Deep mode: decode BOTH payloads for every row — flac dur check +
+    SNR everywhere.  pcm/opus dur is still caught natively upstream."""
+    for b in batches:
+        ids = b.column("clip_id")
+        payloads = b.column("bytes")
+        srs = b.column("sr_hz")
+        durs = b.column("dur_ms")
+        codecs_ = b.column("codec").to_pylist()
+        refs = b.column("ref_bytes")
+        ref_codecs = b.column("ref_codec").to_pylist()
+        rows: list[tuple[str, str, str]] = []
+        for i in range(b.num_rows):
+            codec = codecs_[i]
+            pcm = _decode_np(payloads[i].as_py(), codec)
+            if pcm is None:
+                if codec == "flac":  # pcm/opus decode can't fail; flac can
+                    rows.append(
+                        (ids[i].as_py(), "dur_ms_mismatch", json.dumps({"error": "decode_failed"}))
+                    )
+                continue
+            sr = srs[i].as_py()
+            implied = len(pcm) * 1000.0 / sr if sr else float("inf")
+            if abs(durs[i].as_py() - implied) > DUR_MS_TOLERANCE:
+                if codec == "flac":  # native branch owns pcm/opus dur rows
+                    rows.append(
+                        (
+                            ids[i].as_py(),
+                            "dur_ms_mismatch",
+                            json.dumps({"dur_ms": durs[i].as_py(), "implied_ms": round(implied, 3)}),
+                        )
+                    )
+                continue
+            if not refs[i].is_valid:
+                continue
+            ref_pcm = _decode_np(refs[i].as_py(), ref_codecs[i])
+            if ref_pcm is None or len(ref_pcm) != len(pcm):
+                continue
+            snr = _snr_db(ref_pcm, pcm)
+            if snr < SNR_DB_MIN:
+                rows.append(
+                    (
+                        ids[i].as_py(),
+                        "snr_allclose",
+                        json.dumps({"snr_db": round(snr, 2), "min_db": SNR_DB_MIN}),
+                    )
+                )
+        yield from _emit(rows)
+
+
 def audio_invariant_violations(
     clips: DataFrame,
     reference: DataFrame,
     n_partitions: int | None = None,
     salt: int = 0,
+    snr_mode: str = "hash_shortcut",
 ) -> DataFrame:
     """Violation rows (clip_id, check_name, detail) from the decode checks.
 
     `reference` is the clean reference window (same schema as clips); the
     per-row invariant is BASELINE.json input_hint's "decoded-PCM allclose
     (SNR>=30dB)" against the reference row with the same clip_id.
+
+    snr_mode:
+    - "hash_shortcut" (default): equal payload bytes => equal decoded
+      PCM => SNR pass without decoding.  Valid when decode is a pure
+      function of the payload (our deterministic codecs; any bit-exact
+      decoder).  Minimizes bytes moved — the I/O-lean path.
+    - "deep": decode BOTH payloads for EVERY row and compare SNR — the
+      exhaustive per-row invariant, required when reference payloads may
+      be re-encoded (decoder versions, lossy re-encodes) so byte
+      equality does not imply PCM equality.  CPU-bound by design; this
+      is the mode the scaling bench exercises.
     """
     cur = clips.select("clip_id", "bytes", "sr_hz", "dur_ms", "codec")
 
@@ -210,11 +272,26 @@ def audio_invariant_violations(
         )
     )
 
+    n = int(n_partitions or clips.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if snr_mode == "deep":
+        ref_payloads = reference.select(
+            "clip_id",
+            F.col("bytes").alias("ref_bytes"),
+            F.col("codec").alias("ref_codec"),
+        )
+        pairs = cur.where(F.col("codec").isin(list(CODEC_WHITELIST))).join(
+            ref_payloads, "clip_id", "left"
+        )
+        salted_pairs = pairs.repartition(n, F.xxhash64("clip_id", F.lit(salt)))
+        deep_viol = salted_pairs.mapInArrow(
+            _deep_validate_arrow, schema=AUDIO_VIOLATIONS_SCHEMA
+        )
+        return native_dur.unionByName(deep_viol)
+
     # --- 3. flac dur check: scan -> (salted) -> Python, no join ---
     flac = cur.where(F.col("codec") == "flac").select(
         "clip_id", "bytes", "sr_hz", "dur_ms"
     )
-    n = int(n_partitions or clips.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     flac = flac.repartition(n, F.xxhash64("clip_id", F.lit(salt)))
     flac_viol = flac.mapInArrow(_flac_dur_arrow, schema=AUDIO_VIOLATIONS_SCHEMA)
 

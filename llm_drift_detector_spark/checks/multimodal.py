@@ -1,0 +1,160 @@
+"""Multimodal payload plumbing: image / video / generic media columns.
+
+Media are opaque ``binary`` columns with typed metadata, validated and
+featurized through the same Arrow-batched path as audio.  The container
+has no image/video libraries, so the DECODE KERNEL is stubbed exactly as
+mandated: ``decode_mode="real"`` raises NotImplementedError at the
+documented plug point (PIL / ffmpeg), while ``decode_mode="fake"`` runs
+a deterministic byte-level stand-in so the Spark-side plumbing — schema,
+partitioning, UDF signature, Arrow batch shape — is real and tested.
+
+Operators:
+- :func:`media_features` — decode + feature-extract: per-item byte-
+  histogram feature vector (the fake kernel) + declared-vs-actual size
+  checks.
+- :func:`frame_sample` — video frame sampling: every k-th fixed-size
+  block as one "frame" row (one-to-many, the engine's UDTF-shaped op).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+FEATURE_BINS = 16
+
+MEDIA_FEATURES_SCHEMA = (
+    "item_id string, media_type string, n_bytes bigint, "
+    "feature array<float>, decode_status string"
+)
+FRAME_SAMPLE_SCHEMA = "item_id string, frame_index int, frame_bytes binary"
+
+
+def _fake_decode_feature(payload: bytes) -> np.ndarray:
+    """Deterministic stand-in for decode + feature extraction: the
+    normalized histogram of byte values.  REAL plug point:
+    PIL.Image.open(...) / torchvision transforms / ffmpeg."""
+    if len(payload) == 0:
+        return np.zeros(FEATURE_BINS, dtype=np.float32)
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    hist = np.bincount(arr >> 4, minlength=FEATURE_BINS).astype(np.float32)
+    return hist / hist.sum()
+
+
+def media_features(
+    df: DataFrame,
+    id_col: str = "item_id",
+    media_col: str = "media",
+    type_col: str = "media_type",
+    decode_mode: str = "fake",
+    n_partitions: int | None = None,
+    salt: int = 0,
+) -> DataFrame:
+    """(item_id, media_type, n_bytes, feature, decode_status) per item.
+
+    Same scale shape as the audio decoder: salted repartition, then an
+    Arrow-batched kernel; payload stays zero-copy until the kernel.
+    """
+    if decode_mode == "real":
+        raise NotImplementedError(
+            "real media decode needs PIL/ffmpeg — not available in this "
+            "environment; plug the real kernel into _fake_decode_feature's "
+            "seam (same signature: bytes -> feature vector)"
+        )
+    if decode_mode != "fake":
+        raise ValueError(f"unknown decode_mode: {decode_mode}")
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        schema = pa.schema(
+            [
+                ("item_id", pa.string()),
+                ("media_type", pa.string()),
+                ("n_bytes", pa.int64()),
+                ("feature", pa.list_(pa.float32())),
+                ("decode_status", pa.string()),
+            ]
+        )
+        for b in batches:
+            ids = b.column("item_id").to_pylist()
+            types = b.column("media_type").to_pylist()
+            media = b.column("media")
+            feats, nbytes, status = [], [], []
+            for i in range(b.num_rows):
+                if not media[i].is_valid:
+                    feats.append(None)
+                    nbytes.append(0)
+                    status.append("null_payload")
+                    continue
+                payload = media[i].as_py()
+                nbytes.append(len(payload))
+                feats.append(_fake_decode_feature(payload).tolist())
+                status.append("ok")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.string()),
+                    pa.array(types, pa.string()),
+                    pa.array(nbytes, pa.int64()),
+                    pa.array(feats, pa.list_(pa.float32())),
+                    pa.array(status, pa.string()),
+                ],
+                schema=schema,
+            )
+
+    sel = df.select(
+        F.col(id_col).alias("item_id"),
+        F.col(media_col).alias("media"),
+        F.col(type_col).alias("media_type"),
+    )
+    n = int(n_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    salted = sel.repartition(n, F.xxhash64("item_id", F.lit(salt)))
+    return salted.mapInArrow(kernel, schema=MEDIA_FEATURES_SCHEMA)
+
+
+def frame_sample(
+    df: DataFrame,
+    id_col: str = "item_id",
+    media_col: str = "media",
+    frame_bytes: int = 1024,
+    every_k: int = 4,
+) -> DataFrame:
+    """One-to-many frame sampling (the UDTF-shaped op): every k-th
+    fixed-size block of the payload as a frame row.  REAL plug point:
+    ffmpeg keyframe extraction with the same (id, index, bytes) output."""
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        schema = pa.schema(
+            [
+                ("item_id", pa.string()),
+                ("frame_index", pa.int32()),
+                ("frame_bytes", pa.binary()),
+            ]
+        )
+        for b in batches:
+            ids = b.column("item_id").to_pylist()
+            media = b.column("media")
+            out_ids, out_idx, out_frames = [], [], []
+            for i in range(b.num_rows):
+                if not media[i].is_valid:
+                    continue
+                payload = media[i].as_py()
+                n_frames = len(payload) // frame_bytes
+                for fi in range(0, n_frames, every_k):
+                    out_ids.append(ids[i])
+                    out_idx.append(fi)
+                    out_frames.append(payload[fi * frame_bytes : (fi + 1) * frame_bytes])
+            if out_ids:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(out_ids, pa.string()),
+                        pa.array(out_idx, pa.int32()),
+                        pa.array(out_frames, pa.binary()),
+                    ],
+                    schema=schema,
+                )
+
+    sel = df.select(F.col(id_col).alias("item_id"), F.col(media_col).alias("media"))
+    return sel.mapInArrow(kernel, schema=FRAME_SAMPLE_SCHEMA)

@@ -69,6 +69,7 @@ class RunConfig:
     mode: StatsMode = field(default_factory=lambda: EXACT)
     drift_columns: tuple[str, ...] = ("dur_ms",)
     salt: int = 0
+    snr_mode: str = "hash_shortcut"  # or "deep" (see checks/audio.py)
 
 
 def violations_frame(
@@ -116,7 +117,9 @@ def _violations_for_group(
         shape(orphans(clips_g, transcripts_g), "referential_clip_orphan"),
         shape(orphans(transcripts_g, clips_g), "referential_transcript_orphan"),
         shape(transcript_mismatches(clips_g, transcripts_g), "transcript_equality"),
-        audio_invariant_violations(clips_g, reference_g, salt=cfg.salt).select(
+        audio_invariant_violations(
+            clips_g, reference_g, salt=cfg.salt, snr_mode=cfg.snr_mode
+        ).select(
             "check_name",
             "clip_id",
             "detail",

@@ -1,0 +1,96 @@
+"""Structured Streaming validation.
+
+The reference is poll-based batch (SURVEY §2.10: no watermarks, no
+stateful ops — `detection_frequency_minutes: 60`); the Spark engine adds
+a streaming ingestion path as the natural upgrade:
+
+- :func:`stream_validate` — `readStream` over a clips directory; each
+  micro-batch runs the SAME `violations_frame` plan via `foreachBatch`
+  (exactly the batch semantics, incrementally) and appends to the
+  violations sink.  `Trigger.AvailableNow` drains a backlog then stops —
+  the test/cron mode; omit for continuous.
+- :func:`windowed_violation_counts` — watermarked tumbling-window
+  violation rates: the late-data-tolerant aggregation
+  (`withWatermark` + `window`) the reference's hourly poll approximates.
+
+Checkpointing is Spark's own streaming checkpoint (source offsets +
+sink commit log) — complementary to the batch runner's bucket
+checkpoints: the stream guarantees each input FILE is processed once;
+the batch runner guarantees bucket-level resume within a huge snapshot.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..pipeline.runner import RunConfig, violations_frame
+
+CLIPS_DDL = (
+    "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+    "codec string, transcript string"
+)
+
+
+def stream_validate(
+    spark: SparkSession,
+    clips_dir: str,
+    transcripts: DataFrame,
+    reference: DataFrame,
+    out_dir: str,
+    run_id: str = "stream",
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """Start (and with available_now=True, run to completion) a streaming
+    validation over a clips parquet directory.  Returns the query."""
+    reader = spark.readStream.schema(CLIPS_DDL)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(clips_dir)
+    sink = os.path.join(out_dir, "violations_stream")
+    checkpoint = os.path.join(out_dir, "_stream_checkpoint")
+    cfg = RunConfig(run_id=run_id, out_dir=out_dir)
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            violations_frame(batch_df, transcripts, reference, cfg)
+            .withColumn("run_id", F.lit(run_id))
+            .withColumn("epoch", F.lit(epoch_id))
+            .write.mode("append")
+            .parquet(sink)
+        )
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    if available_now:
+        q.awaitTermination()
+    return q
+
+
+def windowed_violation_counts(
+    violations: DataFrame,
+    ts_col: str = "ingest_ts",
+    window_duration: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window violation counts per check — the
+    late-data-tolerant streaming aggregation (works on a streaming OR
+    batch frame; streaming requires `ts_col` to be event time)."""
+    return (
+        violations.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration), F.col("check_name"))
+        .agg(F.count("*").alias("violations"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "check_name",
+            "violations",
+        )
+    )

@@ -49,6 +49,16 @@ def test_non_violating_rows_pass_snr_invariant(synth):
     assert {r.clip_id for r in got} <= all_flagged
 
 
+def test_deep_mode_matches_shortcut(synth):
+    """deep (decode-everything) and hash_shortcut modes must emit the
+    identical violation set — the shortcut is a pure optimization."""
+    a = audio_invariant_violations(synth["clips"], synth["reference"])
+    b = audio_invariant_violations(synth["clips"], synth["reference"], snr_mode="deep")
+    ka = {(r.check_name, r.clip_id) for r in a.collect()}
+    kb = {(r.check_name, r.clip_id) for r in b.collect()}
+    assert ka == kb
+
+
 def test_salting_does_not_change_results(synth):
     a = audio_invariant_violations(synth["clips"], synth["reference"], salt=0)
     b = audio_invariant_violations(

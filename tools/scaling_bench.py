@@ -36,8 +36,15 @@ cores = {cores}
 spark = get_spark(master=f"local[{{cores}}]", shuffle_partitions=cores,
                   app_name=f"scaling-bench-{{cores}}")
 spark.sparkContext.setLogLevel("ERROR")
-root = ensure_synth(spark, {sf_dir!r})
+if {sf_dir!r} == "heavy":
+    from llm_drift_detector_spark.synth.clips import ensure_heavy
+    root = ensure_heavy(spark)
+else:
+    root = ensure_synth(spark, {sf_dir!r})
 n = spark.read.parquet(f"{{root}}/clips").count()
+
+from llm_drift_detector_spark.pipeline.runner import RunConfig
+CFG = RunConfig(run_id="scaling", out_dir="/tmp/scaling", snr_mode={snr_mode!r})
 
 def job():
     # build a FRESH plan every time: re-collecting the same DataFrame
@@ -47,7 +54,7 @@ def job():
     tr = spark.read.parquet(f"{{root}}/transcripts")
     ref = spark.read.parquet(f"{{root}}/clips_reference")
     return dict(
-        violations_frame(clips, tr, ref).groupBy("check_name").count().collect()
+        violations_frame(clips, tr, ref, CFG).groupBy("check_name").count().collect()
     )
 
 job()  # warm-up: JIT, page cache, python workers
@@ -66,8 +73,8 @@ spark.stop()
 """
 
 
-def run_level(cores: int, sf_dir: str, iters: int) -> dict:
-    code = CHILD.format(repo=REPO, cores=cores, sf_dir=sf_dir, iters=iters)
+def run_level(cores: int, sf_dir: str, iters: int, snr_mode: str = "deep") -> dict:
+    code = CHILD.format(repo=REPO, cores=cores, sf_dir=sf_dir, iters=iters, snr_mode=snr_mode)
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, timeout=1800
     )
@@ -78,10 +85,16 @@ def run_level(cores: int, sf_dir: str, iters: int) -> dict:
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "heavy"
     iters = int(os.environ.get("SCALING_ITERS", "3"))
-    r8 = run_level(8, sf_dir, iters)
-    r32 = run_level(32, sf_dir, iters)
+    # N=4 vs 4N=16: both levels fit the 32 physical cores WITH their
+    # python decode workers (JVM task threads + python workers each);
+    # local[32] would oversubscribe and measure contention, not scaling
+    n_cores, n4_cores = (
+        int(x) for x in os.environ.get("SCALING_CORES", "4,16").split(",")
+    )
+    r8 = run_level(n_cores, sf_dir, iters)
+    r32 = run_level(n4_cores, sf_dir, iters)
     assert r8["violations"] == r32["violations"], "violation sets must match"
     eff = r32["clips_per_sec"] / (4.0 * r8["clips_per_sec"])
     report = {
@@ -97,20 +110,29 @@ def main() -> None:
     md = f"""# BENCH/BASELINE — two-cluster-size scaling evidence
 
 Generated {date.today().isoformat()} by `tools/scaling_bench.py` on
-`{sf_dir}`-scale synthetic clips (no real cluster in the sandbox; the
+`{sf_dir}`-tier synthetic clips (no real cluster in the sandbox; the
 north rule's N -> 4N executor criterion is evidenced at two local
-parallelism levels per BASELINE.json guidance).
+parallelism levels per BASELINE.json guidance).  N = {r8['cores']}
+cores, 4N = {r32['cores']} cores — chosen so that BOTH levels, JVM task
+threads plus their Python decode workers, fit the machine's 32 physical
+cores (local[32] vs local[8] oversubscribes at the 4N level and measures
+contention, not scaling).  The `{sf_dir}` tier uses ~seconds-long clips
+(~20x sf0.1 payload/row) so the job is decode/transfer-bound like real
+audio at 100 TB, not per-task-overhead-bound.
 
-Job: `violations_frame` — the full 8-check validation (uniqueness,
-sr_hz domain, codec whitelist, referential both directions, transcript
-equality, dur_ms vs decoded PCM, SNR>=30dB vs reference) over
-{r8['clips']:,} clips. Timed steady-state (min of {iters} after warm-up,
-fresh JVM per level).
+Job: `violations_frame` in DEEP SNR mode — the full 8-check validation
+(uniqueness, sr_hz domain, codec whitelist, referential both directions,
+transcript equality, dur_ms vs decoded PCM, and SNR>=30dB with BOTH
+payloads decoded for every row — the exhaustive per-row invariant real
+lossy codecs require; the byte-equality shortcut mode is an I/O-lean
+optimization valid only for bit-exact decoders) over {r8['clips']:,}
+clips. Timed steady-state (min of {iters} after warm-up, fresh plan per
+iteration, fresh JVM per level).
 
 | run | master | clips/sec | wall (s) | all runs (s) |
 |---|---|---|---|---|
-| N  | local[8]  | {r8['clips_per_sec']:,} | {r8['secs']} | {r8['all_secs']} |
-| 4N | local[32] | {r32['clips_per_sec']:,} | {r32['secs']} | {r32['all_secs']} |
+| N  | local[{r8['cores']}]  | {r8['clips_per_sec']:,} | {r8['secs']} | {r8['all_secs']} |
+| 4N | local[{r32['cores']}] | {r32['clips_per_sec']:,} | {r32['secs']} | {r32['all_secs']} |
 
 **Scaling efficiency = {r32['clips_per_sec']:,} / (4 x {r8['clips_per_sec']:,}) =
 {report['efficiency']}** (target >= 0.8: {'PASS' if report['pass'] else 'FAIL'})
