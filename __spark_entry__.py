@@ -161,6 +161,63 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q_join_agg_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """General join+agg shape: lineitem |x| orders |x| customer |x|
+    broadcast(nation) -> revenue per nation.  Demonstrates the engine's
+    join planning: dimension tables broadcast, fact joins shuffle on
+    keys, partial aggregation map-side."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    )
+    return _round(
+        j.groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum(rev), 2).alias("revenue"),
+            F.count("*").cast("bigint").alias("n_items"),
+        )
+        .orderBy("nation"),
+        2,
+    )
+
+
+def q_topk_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-rank top-k per group: top 3 customers by revenue per
+    mktsegment (rank/partition window — the analytic-frame shape)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    from pyspark.sql import Window
+
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    per_cust = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(F.round(F.sum(rev), 2).alias("revenue"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("revenue"), F.col("c_custkey")
+    )
+    return (
+        per_cust.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select(
+            F.col("c_mktsegment").alias("mktsegment"),
+            F.col("c_custkey").cast("bigint").alias("custkey"),
+            "revenue",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+        .orderBy("mktsegment", "rnk")
+    )
+
+
 def q_stats_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return _round4(profile(li, ["l_quantity", "l_extendedprice", "l_discount"]))
@@ -451,6 +508,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_moments_events": q_drift_moments_events,
         "clips_drift_js_psi": q_clips_drift_js_psi,
         "clips_drift_ks": q_clips_drift_ks,
+        "join_agg_revenue_by_nation": q_join_agg_revenue_by_nation,
+        "topk_customers_by_revenue": q_topk_customers_by_revenue,
         "stats_profile_lineitem": q_stats_profile_lineitem,
         "uniqueness_orders": q_uniqueness_orders,
         "uniqueness_events_user": q_uniqueness_events_user,
@@ -977,6 +1036,32 @@ def oracle_sql() -> dict[str, str]:
         "drift_moments_events": _moments_sql(_EVENTS_REF, _EVENTS_CUR),
         "clips_drift_js_psi": _js_psi_sql(_CLIPSD_REF, _CLIPSD_CUR, ORACLE_NBINS),
         "clips_drift_ks": _ks_sql(_CLIPSD_REF, _CLIPSD_CUR),
+        "join_agg_revenue_by_nation": """
+            SELECT n.n_name AS nation,
+                   ROUND(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+                   count(*)::BIGINT AS n_items
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name ORDER BY nation
+        """,
+        "topk_customers_by_revenue": """
+            WITH per_cust AS (
+              SELECT c.c_mktsegment, c.c_custkey,
+                     ROUND(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+              FROM lineitem l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              GROUP BY c.c_mktsegment, c.c_custkey),
+            ranked AS (
+              SELECT c_mktsegment AS mktsegment, c_custkey AS custkey, revenue,
+                     row_number() OVER (PARTITION BY c_mktsegment
+                                        ORDER BY revenue DESC, c_custkey) AS rnk
+              FROM per_cust)
+            SELECT mktsegment, custkey::BIGINT AS custkey, revenue, rnk::INT AS rnk
+            FROM ranked WHERE rnk <= 3 ORDER BY mktsegment, rnk
+        """,
         "stats_profile_lineitem": _profile_sql(
             "lineitem", ["l_quantity", "l_extendedprice", "l_discount"]
         ),
