@@ -318,6 +318,29 @@ def q_similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round(topk_lsh(e, "vec_id", "embedding", _ANN_QUERY, k=10), 6)
 
 
+def q_similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (k-means coarse quantizer) ANN — rows-only (iterative fit is
+    not SQL-expressible; recall vs brute is pytest-verified)."""
+    from llm_drift_detector_spark.textops import topk_ivf
+
+    e = _t(spark, sf_dir, "embeddings")
+    return _round(
+        topk_ivf(e, "vec_id", "embedding", _ANN_QUERY, k=10, n_clusters=8, nprobe=3),
+        6,
+    )
+
+
+def q_embedding_near_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed cosine near-dup pairs — rows-only (bucket pruning is
+    the scale path; exactness of surviving pairs is pytest-verified)."""
+    from llm_drift_detector_spark.textops import cosine_near_duplicates
+
+    e = _t(spark, sf_dir, "embeddings")
+    return _round(
+        cosine_near_duplicates(e, "vec_id", "embedding", threshold=0.3), 6
+    ).orderBy("id_a", "id_b")
+
+
 def q_lexical_vocab_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C13 vocabulary difference: en documents vs non-en documents."""
     d = _t(spark, sf_dir, "documents")
@@ -533,6 +556,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_documents": q_fingerprint_documents,
         "similarity_topk_embeddings": q_similarity_topk_embeddings,
         "similarity_lsh_topk": q_similarity_lsh_topk,
+        "similarity_ivf_topk": q_similarity_ivf_topk,
+        "embedding_near_duplicates": q_embedding_near_duplicates,
         "lexical_vocab_documents": q_lexical_vocab_documents,
         "style_features_documents": q_style_features_documents,
         "vocab_term_freq_documents": q_vocab_term_freq_documents,

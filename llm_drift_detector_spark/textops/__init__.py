@@ -12,4 +12,10 @@ from .quality import (  # noqa: F401
     quality_scores,
     token_counts_frame,
 )
-from .similarity import cosine_near_duplicates, topk_brute, topk_lsh  # noqa: F401
+from .similarity import (  # noqa: F401
+    cosine_near_duplicates,
+    kmeans_fit,
+    topk_brute,
+    topk_ivf,
+    topk_lsh,
+)

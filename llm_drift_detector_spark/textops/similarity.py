@@ -110,6 +110,94 @@ def topk_lsh(
     )
 
 
+def kmeans_fit(
+    df: DataFrame,
+    col: str,
+    k: int = 16,
+    iters: int = 3,
+    seed: int = 7,
+    dim: int | None = None,
+) -> np.ndarray:
+    """Deterministic Lloyd's k-means over an embedding column — the IVF
+    coarse quantizer.  Each iteration is one distributed assign (argmin
+    over k native distance expressions) + one per-dimension avg
+    aggregate; only the (k, d) centroid matrix crosses the driver.
+    Initialization = seeded exact-k sample (orderBy(rand(seed))).
+    """
+    if dim is None:
+        dim = int(df.select(F.size(F.col(col)).alias("d")).limit(1).collect()[0].d)
+    base = df.where(F.col(col).isNotNull()).select(F.col(col).alias("e"))
+    # farthest-point (k-center) init over a seeded pool: plain random
+    # init routinely drops a cluster (two seeds in one blob); greedy
+    # max-min separation is deterministic and blob-separating
+    pool = np.array(
+        [r.e for r in base.orderBy(F.rand(seed)).limit(max(8 * k, 64)).collect()],
+        dtype=np.float64,
+    )
+    chosen = [0]
+    d2 = ((pool - pool[0]) ** 2).sum(axis=1)
+    while len(chosen) < min(k, len(pool)):
+        nxt = int(np.argmax(d2))
+        chosen.append(nxt)
+        d2 = np.minimum(d2, ((pool - pool[nxt]) ** 2).sum(axis=1))
+    centroids = pool[chosen].copy()
+    for _ in range(iters):
+        assigned = base.withColumn("c", _nearest_centroid("e", centroids))
+        aggs = [
+            F.avg(F.element_at(F.col("e"), i + 1).cast("double")).alias(f"a{i}")
+            for i in range(dim)
+        ] + [F.count("*").alias("n")]
+        rows = assigned.groupBy("c").agg(*aggs).collect()
+        new = centroids.copy()  # empty clusters keep their old centroid
+        for r in rows:
+            new[r.c] = [r[f"a{i}"] for i in range(dim)]
+        centroids = new
+    return centroids
+
+
+def _nearest_centroid(col: str, centroids: np.ndarray):
+    """argmin_j ||x - c_j||^2 as a native expression: rank by
+    (|c_j|^2 - 2 x.c_j) — |x|^2 is constant per row.  array_min over
+    (score, j) structs implements the argmin."""
+    entries = []
+    for j, c in enumerate(centroids):
+        score = F.lit(float(np.dot(c, c))) - 2.0 * _dot_lit(col, c)
+        entries.append(F.struct(score.alias("s"), F.lit(j).alias("j")))
+    return F.array_min(F.array(*entries))["j"].cast("int")
+
+
+def topk_ivf(
+    df: DataFrame,
+    id_col: str,
+    col: str,
+    query: np.ndarray,
+    k: int = 10,
+    centroids: np.ndarray | None = None,
+    n_clusters: int = 16,
+    nprobe: int = 2,
+    seed: int = 7,
+) -> DataFrame:
+    """IVF search: scan only the `nprobe` clusters nearest to the query.
+
+    At 10^12 rows the table is partitioned by the cluster id, so this is
+    partition pruning; recall grows with nprobe (exact at nprobe=k).
+    Pass precomputed `centroids` to skip the fit (the production shape:
+    fit once, search many).
+    """
+    if centroids is None:
+        centroids = kmeans_fit(df, col, k=n_clusters, seed=seed)
+    d2 = ((centroids - query[None, :]) ** 2).sum(axis=1)
+    probes = [int(j) for j in np.argsort(d2)[:nprobe]]
+    cluster = _nearest_centroid(col, centroids)
+    return (
+        df.where(F.col(col).isNotNull())
+        .where(cluster.isin(probes))
+        .select(F.col(id_col).alias("id"), cosine_to_query(col, query).alias("cosine"))
+        .orderBy(F.desc("cosine"), "id")
+        .limit(k)
+    )
+
+
 def cosine_near_duplicates(
     df: DataFrame,
     id_col: str,

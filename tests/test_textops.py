@@ -160,6 +160,30 @@ def test_topk_brute_matches_numpy(spark):
     assert all(abs(r.cosine - cos[r.id]) < 1e-9 for r in got)
 
 
+def test_kmeans_ivf_recovers_blobs_and_recall(spark):
+    from llm_drift_detector_spark.textops import kmeans_fit, topk_ivf
+
+    rng = np.random.default_rng(6)
+    blobs = [rng.normal(0, 0.3, (100, 8)) + center
+             for center in (np.eye(8)[0] * 5, np.eye(8)[3] * 5, -np.eye(8)[5] * 5)]
+    m = np.vstack(blobs)
+    df = spark.createDataFrame(
+        [(i, r.tolist()) for i, r in enumerate(m.astype(float))],
+        "vec_id bigint, embedding array<double>",
+    )
+    cents = kmeans_fit(df, "embedding", k=3, iters=4, seed=11)
+    # each blob center recovered by some centroid (within the blob std)
+    for center in (np.eye(8)[0] * 5, np.eye(8)[3] * 5, -np.eye(8)[5] * 5):
+        assert min(np.linalg.norm(cents - center, axis=1)) < 0.5
+    # IVF top-k for a query inside blob 0 == brute top-k (cluster pruning
+    # keeps the whole neighborhood when nprobe covers the query's blob)
+    q = m[7]
+    got = [r.id for r in topk_ivf(df, "vec_id", "embedding", q, k=5,
+                                  centroids=cents, nprobe=1).collect()]
+    exp = [r.id for r in topk_brute(df, "vec_id", "embedding", q, k=5).collect()]
+    assert got == exp
+
+
 def test_topk_lsh_recall_and_near_duplicates(spark):
     rng = np.random.default_rng(3)
     m = rng.standard_normal((300, 16))
