@@ -231,6 +231,14 @@ def q_uniqueness_events_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round4(uniqueness_metrics(_t(spark, sf_dir, "events"), "user_id"))
 
 
+def q_uniqueness_orders_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL-sketch uniqueness metric (the 10^12-row path) — rows-only:
+    approx_count_distinct's HLL differs from DuckDB's estimator."""
+    return _round4(
+        uniqueness_metrics(_t(spark, sf_dir, "orders"), "o_orderkey", approx=True)
+    )
+
+
 def q_referential_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("clip_id"))
     c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("clip_id"))
@@ -536,6 +544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_profile_lineitem": q_stats_profile_lineitem,
         "uniqueness_orders": q_uniqueness_orders,
         "uniqueness_events_user": q_uniqueness_events_user,
+        "uniqueness_orders_approx": q_uniqueness_orders_approx,
         "referential_orders_customer": q_referential_orders_customer,
         "referential_customer_orders": q_referential_customer_orders,
         "clips_stats_profile": q_clips_stats_profile,

@@ -21,11 +21,25 @@ import math
 
 
 def kolmogorov_sf(lam: float) -> float:
-    """Two-sided asymptotic KS survival function Q(lambda)."""
-    if lam <= 0.0:
+    """Two-sided asymptotic KS survival function Q(lambda).
+
+    Two regimes: the alternating series 2*sum (-1)^{k-1} exp(-2k^2 l^2)
+    converges fast for large lambda but needs thousands of oscillating
+    terms below ~1 (a hypothesis property test caught the resulting
+    non-monotonicity); for small lambda the Jacobi-theta dual form
+    Q = 1 - (sqrt(2*pi)/l) * sum exp(-(2k-1)^2 pi^2 / (8 l^2))
+    converges in a handful of terms.
+    """
+    if lam <= 1e-3:  # Q(0.001) = 1 - O(e^-600000); also avoids lam^2 underflow
         return 1.0
     if lam > 8.0:
         return 0.0
+    if lam < 1.18:  # dual (theta) form
+        cdf = 0.0
+        for k in range(1, 21):
+            cdf += math.exp(-((2 * k - 1) ** 2) * math.pi**2 / (8.0 * lam * lam))
+        cdf *= math.sqrt(2.0 * math.pi) / lam
+        return min(1.0, max(0.0, 1.0 - cdf))
     total = 0.0
     for k in range(1, 101):
         term = 2.0 * (-1.0) ** (k - 1) * math.exp(-2.0 * k * k * lam * lam)
