@@ -911,10 +911,12 @@ def _vocab_diff_sql(ref_where: str, cur_where: str) -> str:
                      / ((cr / (SELECT rt FROM tot) + cc / (SELECT ct FROM tot)) / 2) + 1e-10)
         END), 0.0) AS js,
         sum(CASE WHEN cr IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS ref_vocab,
-        sum(CASE WHEN cc IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS cur_vocab
+        sum(CASE WHEN cc IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS cur_vocab,
+        sum(CASE WHEN cr IS NOT NULL AND cc IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS inter_n
       FROM j)
     SELECT ROUND(jaccard, 6) AS jaccard, ROUND(js, 6) AS js,
-           ROUND(0.5 * jaccard + 0.5 * LEAST(js, 1.0), 6) AS vocab_diff,
+           ROUND(CASE WHEN inter_n = 0 THEN jaccard
+                      ELSE 0.5 * jaccard + 0.5 * LEAST(js, 1.0) END, 6) AS vocab_diff,
            ref_vocab, cur_vocab
     FROM agg
     """

@@ -160,18 +160,41 @@ def _snr_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
             if not refs[i].is_valid:
                 continue
             ref_pcm = _decode_np(refs[i].as_py(), ref_codecs[i])
-            if ref_pcm is None or len(ref_pcm) != len(pcm):
-                continue
-            snr = _snr_db(ref_pcm, pcm)
-            if snr < SNR_DB_MIN:
-                rows.append(
-                    (
-                        ids[i].as_py(),
-                        "snr_allclose",
-                        json.dumps({"snr_db": round(snr, 2), "min_db": SNR_DB_MIN}),
-                    )
-                )
+            violation = _snr_violation(ids[i].as_py(), ref_pcm, pcm)
+            if violation is not None:
+                rows.append(violation)
         yield from _emit(rows)
+
+
+def _snr_violation(
+    clip_id: str, ref_pcm: np.ndarray | None, pcm: np.ndarray
+) -> tuple[str, str, str] | None:
+    """snr_allclose verdict for one decoded pair, or None on pass.
+
+    A reference payload that fails to decode or decodes to a DIFFERENT
+    length is a genuine current/reference divergence — the current row is
+    self-consistent, so no dur_ms_mismatch fires; silently skipping here
+    would let the divergence pass with no violation in any class.  Emit
+    an explicit snr_allclose violation instead (codecs.snr_db's
+    -inf-on-shape-mismatch convention)."""
+    if ref_pcm is None:
+        return (clip_id, "snr_allclose", json.dumps({"error": "ref_decode_failed"}))
+    if len(ref_pcm) != len(pcm):
+        return (
+            clip_id,
+            "snr_allclose",
+            json.dumps(
+                {"error": "ref_length_mismatch", "ref_n": len(ref_pcm), "cur_n": len(pcm)}
+            ),
+        )
+    snr = _snr_db(ref_pcm, pcm)
+    if snr < SNR_DB_MIN:
+        return (
+            clip_id,
+            "snr_allclose",
+            json.dumps({"snr_db": round(snr, 2), "min_db": SNR_DB_MIN}),
+        )
+    return None
 
 
 def _deep_validate_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -210,17 +233,9 @@ def _deep_validate_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.Recor
             if not refs[i].is_valid:
                 continue
             ref_pcm = _decode_np(refs[i].as_py(), ref_codecs[i])
-            if ref_pcm is None or len(ref_pcm) != len(pcm):
-                continue
-            snr = _snr_db(ref_pcm, pcm)
-            if snr < SNR_DB_MIN:
-                rows.append(
-                    (
-                        ids[i].as_py(),
-                        "snr_allclose",
-                        json.dumps({"snr_db": round(snr, 2), "min_db": SNR_DB_MIN}),
-                    )
-                )
+            violation = _snr_violation(ids[i].as_py(), ref_pcm, pcm)
+            if violation is not None:
+                rows.append(violation)
         yield from _emit(rows)
 
 

@@ -4,7 +4,9 @@
 Semantics mirrored exactly, including the reference's quirks:
 - tokenize = ``text.lower().split()`` -> ``explode(split(lower(c),'\\s+'))``
   with empty tokens dropped (Python split semantics);
-- vocabulary difference = ``0.5 * jaccard + 0.5 * min(js, 1)`` where the
+- vocabulary difference = ``0.5 * jaccard + 0.5 * min(js, 1)`` — except
+  when the vocabularies share NO common words, where the reference
+  returns the bare jaccard distance (1.0 at maximal drift) — and the
   JS here puts the epsilon INSIDE the log (``p*ln(p/m + 1e-10)``, unlike
   C2) and common-word frequencies are normalized by each side's TOTAL
   token count (they do not sum to 1 over the common subset);
@@ -68,12 +70,17 @@ def vocab_difference_frame(ref: DataFrame, cur: DataFrame, col: str) -> DataFram
     return out.select(
         (1.0 - F.col("inter_n") / F.greatest(F.col("union_n"), F.lit(1))).alias("jaccard"),
         F.col("js").cast("double").alias("js"),
+        "inter_n",
         "ref_vocab",
         "cur_vocab",
     ).select(
         "jaccard",
         "js",
-        (0.5 * F.col("jaccard") + 0.5 * F.least(F.col("js"), F.lit(1.0)))
+        # Disjoint vocabularies (no common words): the reference returns the
+        # bare jaccard_distance (semantic.py:396-398) — 1.0 at maximal drift —
+        # rather than the 0.5-weighted blend.
+        F.when(F.col("inter_n") == 0, F.col("jaccard"))
+        .otherwise(0.5 * F.col("jaccard") + 0.5 * F.least(F.col("js"), F.lit(1.0)))
         .cast("double")
         .alias("vocab_diff"),
         "ref_vocab",

@@ -77,16 +77,31 @@ def violations_frame(
     transcripts: DataFrame,
     reference: DataFrame,
     cfg: RunConfig | None = None,
+    include_global: bool = True,
 ) -> DataFrame:
     """All violation rows for the full input — the single-job variant
     (bench + ad-hoc use; the checkpointed path goes through
-    run_validation's bucket groups)."""
+    run_validation's bucket groups).
+
+    ``include_global=False`` drops the checks whose verdict needs the
+    WHOLE clips table (transcript-orphan, uniqueness): on a partial
+    input (e.g. one streaming micro-batch) they produce false positives
+    (every transcript whose clip arrives later looks orphaned; only
+    within-slice duplicates are visible).  The streaming path sets this;
+    the bucket runner keeps it on (buckets are closed under clip_id, so
+    per-bucket global checks are complete)."""
     cfg = cfg or RunConfig(run_id="adhoc", out_dir="/tmp/adhoc")
-    return _violations_for_group(clips, transcripts, reference, cfg)
+    return _violations_for_group(
+        clips, transcripts, reference, cfg, include_global=include_global
+    )
 
 
 def _violations_for_group(
-    clips_g: DataFrame, transcripts_g: DataFrame, reference_g: DataFrame, cfg: RunConfig
+    clips_g: DataFrame,
+    transcripts_g: DataFrame,
+    reference_g: DataFrame,
+    cfg: RunConfig,
+    include_global: bool = True,
 ) -> DataFrame:
     """All violation rows for one bucket group, in FIXTURES §4 shape
     minus run_id (added by the writer).  Buckets are closed under
@@ -101,9 +116,7 @@ def _violations_for_group(
             bucket_id("clip_id", cfg.n_buckets).alias("partition_id"),
         )
 
-    dup = duplicate_keys(clips_g)
     parts = [
-        shape(dup, "uniqueness", F.to_json(F.struct(F.col("n")))),
         shape(
             domain_violations(clips_g, "sr_hz", SR_HZ_DOMAIN),
             "sr_hz_domain",
@@ -115,7 +128,6 @@ def _violations_for_group(
             F.to_json(F.struct(F.col("value"))),
         ),
         shape(orphans(clips_g, transcripts_g), "referential_clip_orphan"),
-        shape(orphans(transcripts_g, clips_g), "referential_transcript_orphan"),
         shape(transcript_mismatches(clips_g, transcripts_g), "transcript_equality"),
         audio_invariant_violations(
             clips_g, reference_g, salt=cfg.salt, snr_mode=cfg.snr_mode
@@ -126,6 +138,13 @@ def _violations_for_group(
             bucket_id("clip_id", cfg.n_buckets).alias("partition_id"),
         ),
     ]
+    if include_global:
+        parts.insert(
+            0, shape(duplicate_keys(clips_g), "uniqueness", F.to_json(F.struct(F.col("n"))))
+        )
+        parts.insert(
+            4, shape(orphans(transcripts_g, clips_g), "referential_transcript_orphan")
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

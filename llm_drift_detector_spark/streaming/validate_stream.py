@@ -5,10 +5,17 @@ stateful ops — `detection_frequency_minutes: 60`); the Spark engine adds
 a streaming ingestion path as the natural upgrade:
 
 - :func:`stream_validate` — `readStream` over a clips directory; each
-  micro-batch runs the SAME `violations_frame` plan via `foreachBatch`
-  (exactly the batch semantics, incrementally) and appends to the
-  violations sink.  `Trigger.AvailableNow` drains a backlog then stops —
-  the test/cron mode; omit for continuous.
+  micro-batch runs the batch-LOCAL subset of the `violations_frame` plan
+  via `foreachBatch` and appends to the violations sink.  Batch-local =
+  domain, clip-orphan, transcript equality, dur_ms/SNR payload checks —
+  the checks whose per-row verdict doesn't depend on rows outside the
+  batch.  Globally-scoped checks (transcript-orphan, uniqueness) are
+  EXCLUDED: on a micro-batch they false-positive (a transcript whose
+  clip arrives in the next batch is not an orphan; cross-batch duplicate
+  clip_ids are invisible).  They belong to the bucket-checkpointed batch
+  runner, or to a stateful operator (see streaming/stateful.py).
+  `Trigger.AvailableNow` drains a backlog then stops — the test/cron
+  mode; omit for continuous.
 - :func:`windowed_violation_counts` — watermarked tumbling-window
   violation rates: the late-data-tolerant aggregation
   (`withWatermark` + `window`) the reference's hourly poll approximates.
@@ -55,8 +62,13 @@ def stream_validate(
     cfg = RunConfig(run_id=run_id, out_dir=out_dir)
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
+        # include_global=False: a micro-batch is a PARTIAL view of clips,
+        # so transcript-orphan would flag every transcript whose clip is
+        # in another batch, and uniqueness only sees within-batch dups.
+        # Those two stay with the bucket-checkpointed batch runner (or
+        # the stateful path, streaming/stateful.py).
         (
-            violations_frame(batch_df, transcripts, reference, cfg)
+            violations_frame(batch_df, transcripts, reference, cfg, include_global=False)
             .withColumn("run_id", F.lit(run_id))
             .withColumn("epoch", F.lit(epoch_id))
             .write.mode("append")

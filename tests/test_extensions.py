@@ -181,14 +181,22 @@ def test_stream_validate_matches_batch(spark, sf_dir, tmp_path):
     tr = spark.read.parquet(f"{root}/transcripts")
     ref = spark.read.parquet(f"{root}/clips_reference")
     out = str(tmp_path / "stream_out")
-    stream_validate(spark, f"{root}/clips", tr, ref, out, run_id="s1")
+    # maxFilesPerTrigger=1 forces MULTIPLE micro-batches: the stream runs
+    # only batch-local checks, whose union over batches equals the
+    # full-table batch-local result — no false transcript-orphans from
+    # partial views (the include_global=False contract).
+    stream_validate(
+        spark, f"{root}/clips", tr, ref, out, run_id="s1", max_files_per_trigger=1
+    )
     got = spark.read.parquet(f"{out}/violations_stream")
-    batch = violations_frame(spark.read.parquet(f"{root}/clips"), tr, ref)
+    batch = violations_frame(
+        spark.read.parquet(f"{root}/clips"), tr, ref, include_global=False
+    )
     got_set = {(r.check_name, r.clip_id) for r in got.collect()}
-    # per-batch referential checks are batch-local; with availableNow over
-    # one directory there is a single micro-batch -> exact parity
     exp_set = {(r.check_name, r.clip_id) for r in batch.collect()}
     assert got_set == exp_set
+    # globally-scoped checks never leak into the streaming sink
+    assert not {c for c, _ in got_set} & {"uniqueness", "referential_transcript_orphan"}
 
 
 def test_windowed_violation_counts_batch_semantics(spark):
