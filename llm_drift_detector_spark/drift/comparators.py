@@ -380,6 +380,135 @@ def welch_t_frame(ref: DataFrame, cur: DataFrame, column: str) -> DataFrame:
     )
 
 
+def _tagged_union(ref: DataFrame, cur: DataFrame, column: str) -> DataFrame:
+    """(v double, is_ref int) with nulls dropped — shared scan for the
+    fused passes."""
+    v = F.col(column).cast("double")
+    return (
+        ref.select(v.alias("v"), F.lit(1).alias("is_ref"))
+        .unionAll(cur.select(v.alias("v"), F.lit(0).alias("is_ref")))
+        .where(F.col("v").isNotNull())
+    )
+
+
+def _fused_two_sample_stats(
+    ref: DataFrame,
+    cur: DataFrame,
+    column: str,
+    edges_nbins: int | None = None,
+    mode: StatsMode = EXACT,
+):
+    """Pass 1 of the fused detector: ONE aggregate over the tagged union
+    computing per-side count/mean/var/std/min/max AND (optionally) the
+    reference-side quantile edges for PSI.  Replaces what used to be
+    five separate actions (shared_range x2 sides, two_sample_moments,
+    ref_quantile_edges, wasserstein's range aggs)."""
+    u = _tagged_union(ref, cur, column)
+    rv = F.when(F.col("is_ref") == 1, F.col("v"))
+    cv = F.when(F.col("is_ref") == 0, F.col("v"))
+
+    def side(c, tag: str):
+        return [
+            F.count(c).alias(f"n_{tag}"),
+            F.avg(c).alias(f"mean_{tag}"),
+            F.coalesce(F.var_samp(c), F.lit(0.0)).alias(f"var_{tag}"),
+            F.coalesce(F.stddev_pop(c), F.lit(0.0)).alias(f"std_{tag}"),
+            F.min(c).alias(f"min_{tag}"),
+            F.max(c).alias(f"max_{tag}"),
+        ]
+
+    aggs = side(rv, "ref") + side(cv, "cur")
+    if edges_nbins:
+        qs = [i / edges_nbins for i in range(1, edges_nbins)]
+        if mode.exact:
+            arr = F.expr(
+                "percentile(CASE WHEN is_ref = 1 THEN v END, "
+                f"array({', '.join(f'{q}D' for q in qs)}))"
+            )
+        else:
+            arr = F.percentile_approx(rv, qs, mode.approx_percentile_accuracy)
+        aggs.append(arr.alias("edges"))
+    return u.agg(*aggs).collect()[0]
+
+
+def _fused_bin_counts(
+    ref: DataFrame, cur: DataFrame, column: str, grids: list
+) -> dict[int, dict[int, tuple[int, int]]]:
+    """Pass 2: one groupBy(grid, bin) computing BOTH sides' counts for
+    EVERY requested binning at once (JS equal-width, PSI quantile
+    buckets, sketch-ECDF grid).  `grids` is a list of bucket Columns
+    over `v`; each input row explodes into len(grids) tiny (grid, bin)
+    pairs that combine map-side, so one scan + one small shuffle covers
+    every histogram the detector needs.  Zero-mass bins are filled
+    driver-side (the collected result is <= sum(nbins) rows)."""
+    u = _tagged_union(ref, cur, column)
+    pairs = F.array(
+        *[
+            F.struct(F.lit(i).alias("g"), b.cast("int").alias("bin"))
+            for i, b in enumerate(grids)
+        ]
+    )
+    rows = (
+        u.select("is_ref", F.explode(pairs).alias("gb"))
+        .groupBy(F.col("gb.g").alias("g"), F.col("gb.bin").alias("bin"))
+        .agg(
+            F.sum("is_ref").alias("cr"),
+            F.sum(1 - F.col("is_ref")).alias("cc"),
+        )
+        .collect()
+    )
+    out: dict[int, dict[int, tuple[int, int]]] = {i: {} for i in range(len(grids))}
+    for r in rows:
+        out[r.g][r.bin] = (int(r.cr), int(r.cc))
+    return out
+
+
+def _fused_exact_ecdf(
+    ref: DataFrame, cur: DataFrame, column: str, n_ref: int, n_cur: int
+):
+    """Pass 3 (exact mode only): ONE action over the union ECDF yielding
+    both the KS statistic and the Wasserstein integral.  Ties share the
+    rangeBetween cumulative mass, so the per-distinct-value max equals
+    the per-row max.  Single-task global sort — exact mode is the
+    oracle/small-window path; sketch mode replaces this with pass 2's
+    binned grid."""
+    e = _union_ecdf(ref, cur, column)
+    per_v = e.groupBy("v").agg(
+        F.max("cum_r").alias("cum_r"), F.max("cum_c").alias("cum_c")
+    )
+    diff = F.abs(
+        F.col("cum_r") / F.lit(float(n_ref)) - F.col("cum_c") / F.lit(float(n_cur))
+    )
+    nxt = F.lead("v").over(Window.orderBy("v"))
+    s = per_v.select(
+        diff.alias("diff"),
+        (diff * (F.coalesce(nxt, F.col("v")) - F.col("v"))).alias("area"),
+    )
+    return s.agg(
+        F.coalesce(F.max("diff"), F.lit(0.0)).cast("double").alias("ks_d"),
+        F.coalesce(F.sum("area"), F.lit(0.0)).cast("double").alias("wd"),
+    ).collect()[0]
+
+
+def _dense_counts(sparse: dict[int, tuple[int, int]], nbins: int):
+    """Sparse (bin -> (cr, cc)) to dense numpy count vectors."""
+    import numpy as np
+
+    cr = np.zeros(nbins, dtype=np.float64)
+    cc = np.zeros(nbins, dtype=np.float64)
+    for b, (a, c) in sparse.items():
+        if 0 <= b < nbins:
+            cr[b], cc[b] = a, c
+    return cr, cc
+
+
+def _hist_probs_np(cr, cc, n_ref: int, n_cur: int, width: float):
+    """numpy mirror of histogram_probs' density+epsilon+normalize."""
+    dens_r = cr / (float(n_ref) * width) + EPS
+    dens_c = cc / (float(n_cur) * width) + EPS
+    return dens_r / dens_r.sum(), dens_c / dens_c.sum()
+
+
 def distribution_drift(
     ref: DataFrame,
     cur: DataFrame,
@@ -388,19 +517,44 @@ def distribution_drift(
     mode: StatsMode = EXACT,
     detector_threshold: float = DISTRIBUTION_DETECTOR_THRESHOLD,
     min_samples: int = MIN_SAMPLES,
+    psi_nbins: int = 10,
 ) -> dict:
     """Full reference distribution-detector semantics for one feature.
 
     Runs the per-method comparators, normalizes scores per C5
     (``min(score/threshold, 1)`` weighted mean), and applies the C18
-    verdict (``drift_score > detector_threshold``).  Spark does every
-    per-row/per-bin reduction; Python only touches collected aggregate
-    scalars (<= nbins + a handful).
+    verdict (``drift_score > detector_threshold``).
 
-    Returns a dict shaped like the reference ``DriftResult``.
+    Fused execution — at most THREE Spark actions regardless of how many
+    methods are configured (two in sketch mode):
+
+    1. one aggregate over the tagged ref+cur union: per-side
+       count/mean/var/std/min/max + reference quantile edges;
+    2. one groupBy(grid, bin) computing every histogram at once
+       (JS equal-width, PSI quantile buckets, and in sketch mode the
+       binned-ECDF grid for KS/Wasserstein);
+    3. exact mode only: one union-ECDF pass yielding both the KS
+       statistic and the Wasserstein integral.
+
+    Spark does every per-row reduction; Python touches only collected
+    aggregate scalars and <= sum(nbins) histogram rows, applying the
+    identical formulas the standalone frame builders (:func:`js_psi_frame`,
+    :func:`psi_frame`, :func:`ks_frame`, :func:`wasserstein_frame`) encode
+    in Spark expressions — those remain the oracle-checkable single-method
+    paths.  Returns a dict shaped like the reference ``DriftResult``.
     """
+    import numpy as np
+
     methods = methods or DISTRIBUTION_METHODS
-    mn, mx, n_ref, n_cur = shared_range(ref, cur, column)
+    want_ks = "ks_test" in methods
+    want_w1 = "wasserstein" in methods
+    want_js = "js_divergence" in methods
+    want_psi = "psi" in methods
+
+    stats = _fused_two_sample_stats(
+        ref, cur, column, edges_nbins=psi_nbins if want_psi else None, mode=mode
+    )
+    n_ref, n_cur = int(stats["n_ref"]), int(stats["n_cur"])
     result: dict = {
         "metric_name": "distribution_drift",
         "column": column,
@@ -414,45 +568,72 @@ def distribution_drift(
         result.update({"drift_score": 0.0, "drift_detected": False, "gated": True})
         return result
 
-    moments = {r["side"]: r for r in two_sample_moments(ref, cur, column).collect()}
+    mn = min(x for x in (stats["min_ref"], stats["min_cur"]) if x is not None)
+    mx = max(x for x in (stats["max_ref"], stats["max_cur"]) if x is not None)
+    value_range = max(
+        (stats["max_ref"] or 0.0) - (stats["min_ref"] or 0.0),
+        (stats["max_cur"] or 0.0) - (stats["min_cur"] or 0.0),
+    )
+    edges = [float(x) for x in (stats["edges"] or [])] if want_psi else []
+    moments = {
+        side: {
+            "n": int(stats[f"n_{side}"]),
+            "mean": stats[f"mean_{side}"],
+            "var_samp": stats[f"var_{side}"],
+            "stddev": stats[f"std_{side}"],
+            "min": stats[f"min_{side}"],
+            "max": stats[f"max_{side}"],
+        }
+        for side in ("ref", "cur")
+    }
     tests: dict[str, dict] = {}
 
-    if "ks_test" in methods or "wasserstein" in methods:
-        d = ks_frame(ref, cur, column, mode).collect()[0].ks_d or 0.0
-        wrow = wasserstein_frame(ref, cur, column, mode).collect()[0]
-        if "ks_test" in methods:
-            thr, wt = methods["ks_test"]
-            p = ks_2samp_p(float(d), n_ref, n_cur)
-            tests["ks_test"] = {
-                "statistic": float(d),
-                "p_value": p,
-                "score": 1.0 - p,
-                "threshold": thr,
-                "weight": wt,
-                "drift_detected": p < thr,
-            }
-        if "wasserstein" in methods:
-            thr, wt = methods["wasserstein"]
-            tests["wasserstein"] = {
-                "distance": float(wrow.wd),
-                "score": float(wrow.wd_norm),
-                "threshold": thr,
-                "weight": wt,
-                "drift_detected": float(wrow.wd_norm) > thr,
-            }
+    # ---- pass 2: every histogram in one job -------------------------------
+    grid_cols, grid_names = [], []
+    degenerate = mx <= mn
+    nbins_js = rice_bins(n_ref + n_cur)
+    if want_js and not degenerate:
+        grid_cols.append(_bucket(F.col("v"), mn, (mx - mn) / nbins_js, nbins_js))
+        grid_names.append("js")
+    if want_psi and edges:
+        bucket = sum(((F.col("v") > F.lit(e)).cast("int") for e in edges), F.lit(0))
+        grid_cols.append(bucket)
+        grid_names.append("psi")
+    if (want_ks or want_w1) and not mode.exact and not degenerate:
+        grid_cols.append(
+            _bucket(F.col("v"), mn, (mx - mn) / mode.ecdf_bins, mode.ecdf_bins)
+        )
+        grid_names.append("ecdf")
+    counts = (
+        _fused_bin_counts(ref, cur, column, grid_cols) if grid_cols else {}
+    )
+    by_name = {name: counts[i] for i, name in enumerate(grid_names)}
 
-    if "js_divergence" in methods:
-        row = js_psi_frame(ref, cur, column).collect()[0]
+    if want_js:
+        if degenerate:
+            js = 0.0  # degenerate range: reference returns 0 (distribution.py:283-284)
+        else:
+            cr, cc = _dense_counts(by_name["js"], nbins_js)
+            p, q = _hist_probs_np(cr, cc, n_ref, n_cur, (mx - mn) / nbins_js)
+            m = (p + q) / 2.0
+            js = float(0.5 * np.sum(p * np.log(p / m)) + 0.5 * np.sum(q * np.log(q / m)))
         thr, wt = methods["js_divergence"]
         tests["js_divergence"] = {
-            "divergence": float(row.js),
-            "score": float(row.js),
+            "divergence": js,
+            "score": js,
             "threshold": thr,
             "weight": wt,
-            "drift_detected": float(row.js) > thr,
+            "drift_detected": js > thr,
         }
-    if "psi" in methods:
-        psi = float(psi_frame(ref, cur, column, mode=mode).collect()[0].psi)
+
+    if want_psi:
+        if edges:
+            cr, cc = _dense_counts(by_name["psi"], psi_nbins)
+            p = (cr / cr.sum() + EPS) / (1.0 + psi_nbins * EPS)
+            q = (cc / cc.sum() + EPS) / (1.0 + psi_nbins * EPS)
+            psi = float(np.sum((p - q) * np.log(p / q)))
+        else:
+            psi = 0.0
         thr, wt = methods["psi"]
         tests["psi"] = {
             "psi": psi,
@@ -461,6 +642,41 @@ def distribution_drift(
             "weight": wt,
             "drift_detected": psi > thr,
         }
+
+    # ---- KS + Wasserstein: pass 3 (exact) or pass 2's ecdf grid (sketch) --
+    if want_ks or want_w1:
+        if mode.exact:
+            row = _fused_exact_ecdf(ref, cur, column, n_ref, n_cur)
+            ks_d, wd = float(row.ks_d), float(row.wd)
+        elif degenerate:
+            ks_d, wd = 0.0, 0.0
+        else:
+            cr, cc = _dense_counts(by_name["ecdf"], mode.ecdf_bins)
+            p, q = _hist_probs_np(cr, cc, n_ref, n_cur, (mx - mn) / mode.ecdf_bins)
+            fp, fq = np.cumsum(p), np.cumsum(q)
+            ks_d = float(np.max(np.abs(fp - fq)))
+            wd = float(np.sum(np.abs(fp - fq)) * ((mx - mn) / mode.ecdf_bins))
+        wd_norm = wd / float(value_range) if value_range > 0 else 0.0
+        if want_ks:
+            thr, wt = methods["ks_test"]
+            p_val = ks_2samp_p(ks_d, n_ref, n_cur)
+            tests["ks_test"] = {
+                "statistic": ks_d,
+                "p_value": p_val,
+                "score": 1.0 - p_val,
+                "threshold": thr,
+                "weight": wt,
+                "drift_detected": p_val < thr,
+            }
+        if want_w1:
+            thr, wt = methods["wasserstein"]
+            tests["wasserstein"] = {
+                "distance": wd,
+                "score": wd_norm,
+                "threshold": thr,
+                "weight": wt,
+                "drift_detected": wd_norm > thr,
+            }
 
     if "t_test" in methods:
         thr, wt = methods["t_test"]

@@ -207,3 +207,79 @@ def test_shared_range(spark):
     assert mn == min(REF.min(), CUR_SHIFT.min())
     assert mx == max(REF.max(), CUR_SHIFT.max())
     assert (n, m) == (len(REF), len(CUR_SHIFT))
+
+
+def _count_actions(monkeypatch, sample_df):
+    """Count DataFrame.collect() actions — the fused-orchestration contract.
+    Patches the RUNTIME DataFrame class (pyspark 4's classic subclass
+    overrides collect, so patching the base would miss)."""
+    cls = type(sample_df)
+    calls = {"n": 0}
+    orig = cls.collect
+
+    def counting(self):
+        calls["n"] += 1
+        return orig(self)
+
+    monkeypatch.setattr(cls, "collect", counting)
+    return calls
+
+
+def test_distribution_drift_fused_action_count(spark, monkeypatch):
+    """The detector issues <= 3 Spark actions in exact mode and <= 2 in
+    sketch mode, no matter how many methods are configured (VERDICT r1 #2)."""
+    ra, rb = spark_pair(spark, REF, CUR_SHIFT)
+    calls = _count_actions(monkeypatch, ra)
+    res = distribution_drift(ra, rb, "v")  # all 5 default methods
+    assert len(res["methods"]) == 5
+    assert calls["n"] == 3
+
+    calls["n"] = 0
+    res_sk = distribution_drift(ra, rb, "v", mode=SKETCH)
+    assert len(res_sk["methods"]) == 5
+    assert calls["n"] == 2
+
+    # single-method configs never pay for unrequested comparators
+    calls["n"] = 0
+    distribution_drift(ra, rb, "v", methods={"t_test": (0.05, 1.0)})
+    assert calls["n"] == 1  # moments pass only
+    calls["n"] = 0
+    distribution_drift(ra, rb, "v", methods={"js_divergence": (0.2, 1.0)})
+    assert calls["n"] == 2  # moments + histogram, no ECDF sort
+
+
+def test_distribution_drift_fused_matches_frames(spark):
+    """Fused numpy post-processing reproduces the standalone Spark frame
+    builders (the oracle-checked paths) to float tolerance."""
+    ra, rb = spark_pair(spark, REF, CUR_SHIFT)
+    res = distribution_drift(ra, rb, "v")
+
+    js_row = js_psi_frame(ra, rb, "v").collect()[0]
+    assert res["methods"]["js_divergence"]["divergence"] == pytest.approx(js_row.js, abs=1e-9)
+    psi_row = psi_frame(ra, rb, "v").collect()[0]
+    assert res["methods"]["psi"]["psi"] == pytest.approx(psi_row.psi, abs=1e-9)
+    ks_row = ks_frame(ra, rb, "v").collect()[0]
+    assert res["methods"]["ks_test"]["statistic"] == pytest.approx(ks_row.ks_d, abs=1e-12)
+    w_row = wasserstein_frame(ra, rb, "v").collect()[0]
+    assert res["methods"]["wasserstein"]["distance"] == pytest.approx(w_row.wd, abs=1e-9)
+    assert res["methods"]["wasserstein"]["score"] == pytest.approx(w_row.wd_norm, abs=1e-9)
+    t_row = welch_t_frame(ra, rb, "v").collect()[0]
+    assert res["methods"]["t_test"]["statistic"] == pytest.approx(t_row.t_stat, abs=1e-9)
+
+    # sketch mode agrees with the sketch frames too
+    res_sk = distribution_drift(ra, rb, "v", mode=SKETCH)
+    ks_sk = ks_frame(ra, rb, "v", mode=SKETCH).collect()[0]
+    assert res_sk["methods"]["ks_test"]["statistic"] == pytest.approx(ks_sk.ks_d, abs=1e-9)
+    w_sk = wasserstein_frame(ra, rb, "v", mode=SKETCH).collect()[0]
+    assert res_sk["methods"]["wasserstein"]["distance"] == pytest.approx(w_sk.wd, abs=1e-9)
+
+
+def test_distribution_drift_degenerate_range(spark):
+    """All-equal values: JS/PSI 0, KS/W1 0 — no histogram crash."""
+    ra, rb = spark_pair(spark, np.full(50, 7.0), np.full(40, 7.0))
+    res = distribution_drift(ra, rb, "v")
+    assert res["methods"]["js_divergence"]["divergence"] == 0.0
+    assert res["methods"]["ks_test"]["statistic"] == 0.0
+    assert res["methods"]["wasserstein"]["distance"] == 0.0
+    res_sk = distribution_drift(ra, rb, "v", mode=SKETCH)
+    assert res_sk["methods"]["ks_test"]["statistic"] == 0.0
