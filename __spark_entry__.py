@@ -487,6 +487,45 @@ def q_clips_orphan_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orphans(_clips(spark, sf_dir, "transcripts"), _clips(spark, sf_dir))
 
 
+def _tagged_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_type").alias("grp"),
+        F.when(F.col("ts") < EVENTS_SPLIT_TS, "ref").otherwise("cur").alias("side"),
+        F.col("value").alias("v"),
+    )
+
+
+_GROUPED_COLS = ["grp", "n_ref", "n_cur", "ks_d", "js", "psi", "wd", "wd_norm", "t_stat"]
+
+
+def q_drift_by_group_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(event_type) drift in ONE job — the grouped applyInPandas
+    comparator (SURVEY §2.5 C1 style; replaces the reference's
+    per-provider detector loop).  P-value columns are dropped here (no
+    SQL form); stats are oracle-checked per group."""
+    from llm_drift_detector_spark.drift import grouped_distribution_drift
+
+    out = grouped_distribution_drift(
+        _tagged_events_by_type(spark, sf_dir), ["grp"], "v",
+        nbins=ORACLE_NBINS, psi_nbins=10,
+    )
+    return _round(out.select(*_GROUPED_COLS), 6).orderBy("grp")
+
+
+def q_drift_by_group_binned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fully-native binned grouped detector (the 10^12-row path):
+    no Python anywhere, O(nbins) state per group.  exact_edges for
+    oracle parity (production default is the percentile_approx sketch)."""
+    from llm_drift_detector_spark.drift import grouped_distribution_drift_binned
+
+    out = grouped_distribution_drift_binned(
+        _tagged_events_by_type(spark, sf_dir), ["grp"], "v",
+        nbins=ORACLE_NBINS, psi_nbins=10, exact_edges=True,
+    )
+    return _round(out.select(*_GROUPED_COLS), 6).orderBy("grp")
+
+
 def q_drift_js_psi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref, cur = _events_windows(spark, sf_dir)
     return _round(js_psi_frame(ref, cur, "value", nbins=ORACLE_NBINS), 6)
@@ -531,6 +570,8 @@ def q_clips_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "drift_by_group_events": q_drift_by_group_events,
+        "drift_by_group_binned_events": q_drift_by_group_binned_events,
         "drift_js_psi_events": q_drift_js_psi_events,
         "drift_ks_events": q_drift_ks_events,
         "drift_wasserstein_events": q_drift_wasserstein_events,
@@ -993,6 +1034,109 @@ def _mean_dist_sql(ref_sql: str, cur_sql: str, dim: int) -> str:
     """
 
 
+def _grouped_drift_sql(exact_ecdf: bool, nbins: int, psi_nbins: int) -> str:
+    """Per-group drift oracle: same arithmetic as the single-pair SQL
+    oracles, windowed/grouped by `grp`.  exact_ecdf selects union-ECDF
+    KS/W1 (the applyInPandas variant) vs binned-ECDF (the native binned
+    variant); JS/PSI/t are identical in both."""
+    qs = ", ".join(str(i / psi_nbins) for i in range(1, psi_nbins))
+    if exact_ecdf:
+        ks_w1 = f"""
+    cum AS (SELECT grp, v,
+        sum(r) OVER (PARTITION BY grp ORDER BY v RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cr,
+        sum(c) OVER (PARTITION BY grp ORDER BY v RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+      FROM u),
+    perv AS (SELECT grp, v, max(cr) AS cr, max(cc) AS cc FROM cum GROUP BY grp, v),
+    steps AS (SELECT p.grp,
+        abs(p.cr / st.nr - p.cc / st.nc) AS gap,
+        abs(p.cr / st.nr - p.cc / st.nc)
+          * (COALESCE(lead(p.v) OVER (PARTITION BY p.grp ORDER BY p.v), p.v) - p.v) AS area
+      FROM perv p JOIN st USING (grp)),
+    ksw AS (SELECT grp, max(gap) AS ks_d, COALESCE(sum(area), 0.0) AS wd
+            FROM steps GROUP BY grp)"""
+    else:
+        ks_w1 = f"""
+    ecum AS (SELECT grp,
+        sum(p) OVER (PARTITION BY grp ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp,
+        sum(q) OVER (PARTITION BY grp ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fq,
+        (SELECT (st.mx - st.mn) / {nbins} FROM st WHERE st.grp = probs.grp) AS binw
+      FROM probs),
+    ksw AS (SELECT grp, max(abs(fp - fq)) AS ks_d,
+                   sum(abs(fp - fq)) * any_value(binw) AS wd
+            FROM ecum GROUP BY grp)"""
+    return f"""
+    WITH u AS (
+      SELECT event_type AS grp, value::DOUBLE AS v,
+             CASE WHEN ts < TIMESTAMP '{EVENTS_SPLIT_TS}' THEN 1 ELSE 0 END AS r,
+             CASE WHEN ts < TIMESTAMP '{EVENTS_SPLIT_TS}' THEN 0 ELSE 1 END AS c
+      FROM events WHERE value IS NOT NULL),
+    st AS (SELECT grp, min(v) AS mn, max(v) AS mx,
+                  sum(r)::DOUBLE AS nr, sum(c)::DOUBLE AS nc,
+                  max(v) FILTER (WHERE r = 1) - min(v) FILTER (WHERE r = 1) AS range_r,
+                  max(v) FILTER (WHERE c = 1) - min(v) FILTER (WHERE c = 1) AS range_c,
+                  avg(v) FILTER (WHERE r = 1) AS mean_r, avg(v) FILTER (WHERE c = 1) AS mean_c,
+                  COALESCE(var_samp(v) FILTER (WHERE r = 1), 0.0) AS var_r,
+                  COALESCE(var_samp(v) FILTER (WHERE c = 1), 0.0) AS var_c
+           FROM u GROUP BY grp),
+    binned AS (
+      SELECT u.grp,
+             CAST(LEAST(FLOOR((u.v - st.mn) / ((st.mx - st.mn) / {nbins})),
+                        {nbins - 1}) AS INT) AS bin, r, c
+      FROM u JOIN st USING (grp)),
+    counts AS (SELECT grp, bin, sum(r) AS cr, sum(c) AS cc FROM binned GROUP BY grp, bin),
+    bins AS (SELECT g.grp, CAST(t.range AS INT) AS bin
+             FROM (SELECT DISTINCT grp FROM u) g, range({nbins}) t),
+    dense AS (SELECT b.grp, b.bin, COALESCE(cr, 0)::DOUBLE AS cr, COALESCE(cc, 0)::DOUBLE AS cc
+              FROM bins b LEFT JOIN counts USING (grp, bin)),
+    dens AS (SELECT d.grp, d.bin,
+                    d.cr / (st.nr * ((st.mx - st.mn) / {nbins})) + 1e-10 AS dr,
+                    d.cc / (st.nc * ((st.mx - st.mn) / {nbins})) + 1e-10 AS dc
+             FROM dense d JOIN st USING (grp)),
+    probs AS (SELECT grp, bin,
+                     dr / sum(dr) OVER (PARTITION BY grp) AS p,
+                     dc / sum(dc) OVER (PARTITION BY grp) AS q
+              FROM dens),
+    jsx AS (SELECT grp,
+                   0.5 * sum(p * ln(p / ((p + q) / 2)))
+                 + 0.5 * sum(q * ln(q / ((p + q) / 2))) AS js
+            FROM probs GROUP BY grp),
+    edges AS (SELECT grp, unnest(quantile_cont(v, [{qs}]) FILTER (WHERE r = 1)) AS e
+              FROM u GROUP BY grp),
+    dv AS (SELECT grp, v, sum(r) AS rv, sum(c) AS cv FROM u GROUP BY grp, v),
+    bucketed AS (SELECT dv.grp,
+                        (SELECT count(*) FROM edges e
+                         WHERE e.grp = dv.grp AND e.e < dv.v)::INT AS bin,
+                        rv, cv
+                 FROM dv),
+    pcounts AS (SELECT grp, bin, sum(rv) AS cr, sum(cv) AS cc
+                FROM bucketed GROUP BY grp, bin),
+    pbins AS (SELECT g.grp, CAST(t.range AS INT) AS bin
+              FROM (SELECT DISTINCT grp FROM u) g, range({psi_nbins}) t),
+    pdense AS (SELECT b.grp, COALESCE(cr, 0)::DOUBLE AS cr, COALESCE(cc, 0)::DOUBLE AS cc
+               FROM pbins b LEFT JOIN pcounts USING (grp, bin)),
+    pprobs AS (SELECT grp,
+                      (cr / sum(cr) OVER (PARTITION BY grp) + 1e-10) / (1.0 + {psi_nbins} * 1e-10) AS p,
+                      (cc / sum(cc) OVER (PARTITION BY grp) + 1e-10) / (1.0 + {psi_nbins} * 1e-10) AS q
+               FROM pdense),
+    psix AS (SELECT grp, sum((p - q) * ln(p / q)) AS psi FROM pprobs GROUP BY grp),
+    {ks_w1}
+    SELECT st.grp,
+           st.nr::BIGINT AS n_ref, st.nc::BIGINT AS n_cur,
+           ROUND(ksw.ks_d, 6) AS ks_d,
+           ROUND(jsx.js, 6) AS js,
+           ROUND(psix.psi, 6) AS psi,
+           ROUND(ksw.wd, 6) AS wd,
+           ROUND(CASE WHEN GREATEST(st.range_r, st.range_c) > 0
+                      THEN ksw.wd / GREATEST(st.range_r, st.range_c)
+                      ELSE 0.0 END, 6) AS wd_norm,
+           ROUND(CASE WHEN (st.var_r / st.nr + st.var_c / st.nc) > 0
+                      THEN (st.mean_r - st.mean_c) / sqrt(st.var_r / st.nr + st.var_c / st.nc)
+                      ELSE 0.0 END, 6) AS t_stat
+    FROM st JOIN ksw USING (grp) JOIN jsx USING (grp) JOIN psix USING (grp)
+    ORDER BY grp
+    """
+
+
 def _moments_sql(ref_sql: str, cur_sql: str) -> str:
     def side(src: str, name: str) -> str:
         return f"""
@@ -1011,6 +1155,8 @@ def oracle_sql() -> dict[str, str]:
     sr_list = ", ".join(str(v) for v in SR_HZ_DOMAIN)
     codec_list = ", ".join(f"'{c}'" for c in CODEC_WHITELIST)
     return {
+        "drift_by_group_events": _grouped_drift_sql(True, ORACLE_NBINS, 10),
+        "drift_by_group_binned_events": _grouped_drift_sql(False, ORACLE_NBINS, 10),
         "drift_js_psi_events": _js_psi_sql(_EVENTS_REF, _EVENTS_CUR, ORACLE_NBINS),
         "drift_ks_events": _ks_sql(_EVENTS_REF, _EVENTS_CUR),
         "drift_wasserstein_events": _wasserstein_sql(_EVENTS_REF, _EVENTS_CUR),

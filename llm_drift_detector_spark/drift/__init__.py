@@ -11,6 +11,11 @@ from .comparators import (  # noqa: F401
     wasserstein_frame,
     welch_t_frame,
 )
+from .grouped import (  # noqa: F401
+    grouped_distribution_drift,
+    grouped_distribution_drift_binned,
+    tag_windows,
+)
 from .embedding import (  # noqa: F401
     centroid,
     centroid_cosine_frame,
