@@ -26,12 +26,17 @@ def duplicate_keys(df: DataFrame, key: str = "clip_id") -> DataFrame:
     )
 
 
-def uniqueness_metrics(df: DataFrame, key: str = "clip_id", approx: bool = False) -> DataFrame:
-    """Single metric row: total, distinct, duplicate key count, dup rate."""
+def uniqueness_metrics(
+    df: DataFrame, key: str = "clip_id", approx: bool = False, rsd: float = 0.02
+) -> DataFrame:
+    """Single metric row: total, distinct, duplicate key count, dup rate.
+
+    ``rsd`` bounds the HLL relative standard deviation in approx mode
+    (0.02 => the estimate lands within ~5% with overwhelming margin)."""
     if approx:
         return df.agg(
             F.count(key).alias("total"),
-            F.approx_count_distinct(key).alias("distinct"),
+            F.approx_count_distinct(key, rsd).alias("distinct"),
         ).select(
             "total",
             "distinct",

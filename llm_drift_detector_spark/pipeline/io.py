@@ -51,6 +51,56 @@ def write_table(
     w.parquet(spec)
 
 
+def write_bucket_partitioned(
+    df: DataFrame, spec: str, n_buckets: int = 32, key: str = "clip_id"
+) -> None:
+    """Materialize ``bucket_id = pmod(xxhash64(key), n_buckets)`` as a
+    PARTITION column — the plain-parquet equivalent of Iceberg's
+    ``bucket(key, B)`` transform.  run_validation detects the column and
+    filters on it, so each bucket group's scan PRUNES to its partitions
+    instead of re-scanning the full input with a computed predicate
+    (the 10^12-row requirement; see runner module docstring)."""
+    from ..checks.base import bucket_id
+
+    write_table(
+        df.withColumn("bucket_id", bucket_id(key, n_buckets)),
+        spec,
+        mode="overwrite",
+        partition_by=["bucket_id"],
+    )
+
+
+def merge_upsert(
+    spark: SparkSession, df: DataFrame, spec: str, keys: list[str]
+) -> None:
+    """MERGE-equivalent idempotent write: a row whose key tuple already
+    exists in the target is NOT inserted again (WHEN NOT MATCHED THEN
+    INSERT semantics) — re-running a crashed writer cannot duplicate.
+
+    ``table:`` specs issue a real ``MERGE INTO`` (Iceberg / any v2
+    catalog with row-level ops — the production path).  Plain paths get
+    the parquet fallback: left-anti join against the existing keys, then
+    append.  The fallback is idempotent but not atomic across concurrent
+    writers; Iceberg's snapshot commit is, which is why the catalog is
+    the mandated target at scale."""
+    import os
+
+    if spec.startswith("table:"):
+        name = spec[len("table:"):]
+        df.createOrReplaceTempView("_merge_src")
+        cond = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+        spark.sql(
+            f"MERGE INTO {name} t USING _merge_src s ON {cond} "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+        spark.catalog.dropTempView("_merge_src")
+        return
+    if os.path.exists(spec):
+        existing = spark.read.parquet(spec).select(*keys).distinct()
+        df = df.join(existing, keys, "left_anti")
+    df.write.mode("append").parquet(spec)
+
+
 def write_metrics_rotated(
     metrics: DataFrame, spec: str, period: str = "day", ts_col: str = "timestamp"
 ) -> None:

@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from ..config import (
     CODEC_WHITELIST,
     EXACT,
+    SKETCH,
     SR_HZ_DOMAIN,
     StatsMode,
 )
@@ -62,11 +63,17 @@ CHECK_VERSIONS = {
 
 @dataclass
 class RunConfig:
+    """Validation-run configuration.
+
+    ``mode`` defaults to SKETCH: a naive production call must NOT get
+    exact-mode's single-task global-sort KS/percentile plans at scale;
+    exact is the explicit oracle/small-window opt-in (pass ``EXACT``)."""
+
     run_id: str
     out_dir: str
     n_buckets: int = 32
     groups: int = 4
-    mode: StatsMode = field(default_factory=lambda: EXACT)
+    mode: StatsMode = field(default_factory=lambda: SKETCH)
     drift_columns: tuple[str, ...] = ("dur_ms",)
     salt: int = 0
     snr_mode: str = "hash_shortcut"  # or "deep" (see checks/audio.py)
@@ -188,15 +195,24 @@ def run_validation(
     for b in pending:
         groups.setdefault(b % cfg.groups, []).append(b)
 
+    def group_pred(df: DataFrame, buckets: list[int]):
+        # a materialized bucket_id PARTITION column (write_bucket_partitioned
+        # / Iceberg bucket(clip_id, B)) turns the group filter into partition
+        # pruning; otherwise it's a computed predicate (full scan per group —
+        # correct, but the documented cost on non-bucketed storage)
+        if "bucket_id" in df.columns:
+            return F.col("bucket_id").isin(buckets)
+        return bucket_id("clip_id", cfg.n_buckets).isin(buckets)
+
     executed_groups = []
+    executed_buckets: set[int] = set()
     for g, buckets in sorted(groups.items()):
         if max_groups is not None and len(executed_groups) >= max_groups:
             break
         t0 = time.time()
-        in_group = bucket_id("clip_id", cfg.n_buckets).isin(buckets)
-        clips_g = clips.where(in_group)
-        tr_g = transcripts.where(in_group)
-        ref_g = reference.where(in_group)
+        clips_g = clips.where(group_pred(clips, buckets))
+        tr_g = transcripts.where(group_pred(transcripts, buckets))
+        ref_g = reference.where(group_pred(reference, buckets))
 
         vio = _violations_for_group(clips_g, tr_g, ref_g, cfg).withColumn(
             "run_id", F.lit(cfg.run_id)
@@ -245,10 +261,19 @@ def run_validation(
         ).withColumn("completed_at", F.current_timestamp())
         cp.write.mode("append").parquet(os.path.join(cfg.out_dir, "checkpoints"))
         executed_groups.append({"group": g, "buckets": buckets, "secs": time.time() - t0})
+        executed_buckets.update(buckets)
 
-    # global metrics (cheap, run every time: deterministic overwrite)
+    # global metrics: full-input passes (profile + distribution_drift) run
+    # ONLY when this call completes the run AND they were not already
+    # written — a resume over finished buckets or a max_groups partial run
+    # must not pay a full re-scan for metrics it doesn't need yet
+    metrics_path = os.path.join(cfg.out_dir, "metrics")
+    still_pending = set(pending) - executed_buckets
+    compute_metrics = not still_pending and not os.path.exists(metrics_path)
     metrics_rows = []
-    prof = profile(clips, ["sr_hz", "dur_ms"], cfg.mode).collect()
+    prof = (
+        profile(clips, ["sr_hz", "dur_ms"], cfg.mode).collect() if compute_metrics else []
+    )
     for r in prof:
         for stat in ("count", "null_rate", "mean", "stddev", "min", "max", "q25", "median", "q75"):
             metrics_rows.append(
@@ -266,7 +291,7 @@ def run_validation(
                     "{}",
                 )
             )
-    for col in cfg.drift_columns:
+    for col in cfg.drift_columns if compute_metrics else ():
         res = distribution_drift(
             reference.select(col), clips.select(col), col, mode=cfg.mode
         )
@@ -301,19 +326,21 @@ def run_validation(
                 "{}",
             )
         )
-    metrics = spark.createDataFrame(
-        metrics_rows,
-        "run_id string, detector_name string, metric_name string, column string, "
-        "drift_score double, threshold double, drift_detected boolean, p_value double, "
-        "reference_size bigint, current_size bigint, details string",
-    ).withColumn("timestamp", F.current_timestamp())
-    metrics.write.mode("overwrite").parquet(os.path.join(cfg.out_dir, "metrics"))
+    if compute_metrics:
+        metrics = spark.createDataFrame(
+            metrics_rows,
+            "run_id string, detector_name string, metric_name string, column string, "
+            "drift_score double, threshold double, drift_detected boolean, p_value double, "
+            "reference_size bigint, current_size bigint, details string",
+        ).withColumn("timestamp", F.current_timestamp())
+        metrics.write.mode("overwrite").parquet(metrics_path)
 
     cp_all = spark.read.parquet(os.path.join(cfg.out_dir, "checkpoints")).where(
         F.col("run_id") == cfg.run_id
     )
     summary = {
         "run_id": cfg.run_id,
+        "global_metrics_computed": compute_metrics,
         "resumed_buckets_skipped": sorted(done),
         "executed_groups": executed_groups,
         "buckets_pass": cp_all.where(F.col("status") == "pass").count(),

@@ -1,5 +1,6 @@
 from .dedup import (  # noqa: F401
     exact_duplicates,
+    candidate_pairs,
     minhash_lsh_candidates,
     minhash_signatures,
     ngram_jaccard_pairs,

@@ -75,13 +75,27 @@ def minhash_signatures(
 
 
 def minhash_lsh_candidates(
-    sig: DataFrame, k: int = DEFAULT_K, bands: int = DEFAULT_BANDS
+    sig: DataFrame,
+    k: int = DEFAULT_K,
+    bands: int = DEFAULT_BANDS,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup groups: (band, band_sig, id).
 
     Documents sharing (band, band_sig) are candidates; rows are emitted
     only for buckets with >= 2 docs.  Downstream verification:
-    :func:`ngram_jaccard_pairs` on the ids in each bucket.
+    :func:`candidate_pairs` -> :func:`ngram_jaccard_pairs`.
+
+    ``max_bucket_size`` is the skew guard: a mega-bucket (boilerplate —
+    e.g. 10k identical license headers land in ONE bucket per band)
+    would make the within-bucket pair join quadratic.  Oversized buckets
+    are SALTED into ceil(n/cap) sub-buckets by ``pmod(xxhash64(id), s)``
+    (folded into band_sig), bounding within-bucket pairs at ~n*cap/2
+    instead of n^2/2.  Cross-sub-bucket pairs are lost for THAT bucket,
+    which is the standard trade: members of a boilerplate cluster still
+    link transitively through the surviving pairs (dedup consumers take
+    connected components), and genuinely-similar pairs keep colliding in
+    the other bands.
     """
     r = k // bands
     band_cols = []
@@ -94,29 +108,82 @@ def minhash_lsh_candidates(
         "id", F.explode(F.array(*band_cols)).alias("bb")
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.band_sig").alias("band_sig"))
     counts = exploded.groupBy("band", "band_sig").agg(F.count("*").alias("n"))
+    joined = exploded.join(counts.where(F.col("n") > 1), ["band", "band_sig"])
+    if max_bucket_size:
+        n_sub = F.ceil(F.col("n") / max_bucket_size).cast("bigint")
+        # the band participates in the salt so each band partitions the
+        # mega-bucket DIFFERENTLY — pairs from different bands stitch the
+        # sub-buckets back into one connected component
+        salted_sig = F.when(
+            F.col("n") > max_bucket_size,
+            F.concat_ws(
+                "#",
+                F.col("band_sig"),
+                F.pmod(F.xxhash64("id", F.col("band")), n_sub).cast("string"),
+            ),
+        ).otherwise(F.col("band_sig"))
+        joined = joined.withColumn("band_sig", salted_sig)
+    return joined.select("band", "band_sig", "id")
+
+
+def candidate_pairs(cands: DataFrame) -> DataFrame:
+    """Distinct (id_a, id_b) pairs from candidate buckets — the join key
+    is the bucket, so pair volume is bounded by the (salted) bucket
+    sizes, never by the corpus."""
+    a = cands.alias("a")
+    b = cands.alias("b")
     return (
-        exploded.join(counts.where(F.col("n") > 1), ["band", "band_sig"])
-        .select("band", "band_sig", "id")
+        a.join(b, ["band", "band_sig"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
     )
 
 
 def ngram_jaccard_pairs(
-    sh: DataFrame, min_jaccard: float = 0.8, candidates: DataFrame | None = None
+    sh: DataFrame,
+    min_jaccard: float = 0.8,
+    candidates: DataFrame | None = None,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for pairs: (id_a, id_b, jaccard).
 
-    With ``candidates`` (id pairs or bucket ids) the self-join is
-    restricted to candidate ids — the LSH-verified path.  Without it,
-    the shingle self-join is exact-but-quadratic in bucket size; only
+    ``pairs`` (from :func:`candidate_pairs`) is the scale path: ONLY the
+    given (id_a, id_b) pairs are verified, so work is proportional to
+    the candidate count — a mega-bucket can't go quadratic here.
+    ``candidates`` restricts the shingle self-join to candidate ids
+    (pairs still form via shared shingles — fine when buckets are
+    small).  Without either, the self-join is exact-but-quadratic; only
     for small inputs / oracle checks.
     """
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    if pairs is not None:
+        ja = sh.withColumnRenamed("id", "id_a")
+        jb = sh.withColumnRenamed("id", "id_b")
+        inter = (
+            pairs.join(ja, "id_a")
+            .join(jb, ["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("inter"))
+        )
+        out = (
+            inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+            .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                (
+                    F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+                ).cast("double").alias("jaccard"),
+            )
+        )
+        return out.where(F.col("jaccard") >= min_jaccard)
     a = sh.alias("a")
     b = sh.alias("b")
     if candidates is not None:
         ids = candidates.select("id").distinct()
         a = sh.join(ids, "id").alias("a")
         b = sh.join(ids, "id").alias("b")
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     inter = (
         a.join(b, F.col("a.shingle") == F.col("b.shingle"))
         .where(F.col("a.id") < F.col("b.id"))

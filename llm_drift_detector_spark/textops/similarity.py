@@ -206,6 +206,7 @@ def cosine_near_duplicates(
     n_planes: int = 8,
     seed: int = 7,
     dim: int | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, cosine) pairs with cosine >= threshold.
 
@@ -213,14 +214,33 @@ def cosine_near_duplicates(
     self-join key is the signature, so bucket sizes bound the quadratic
     term); high-cosine pairs land in the same bucket with probability
     (1 - theta/pi)^h.  Exact verification inside the bucket.
+
+    ``max_bucket_size`` guards against signature skew (a boilerplate
+    cluster of near-identical embeddings lands in ONE bucket and its
+    self-join goes quadratic): oversized buckets are salted into
+    ceil(n/cap) sub-buckets by ``pmod(xxhash64(id), s)``, bounding pairs
+    at ~n*cap/2 — cluster members stay transitively linked through the
+    surviving pairs.
     """
     if dim is None:
         dim = int(df.select(F.size(F.col(col)).alias("d")).limit(1).collect()[0].d)
     planes = hyperplanes(dim, n_planes, seed)
     sig = lsh_signature(col, planes)
     base = df.where(F.col(col).isNotNull()).select(
-        F.col(id_col).alias("id"), F.col(col).alias("e"), sig.alias("sig")
+        F.col(id_col).alias("id"), F.col(col).alias("e"), sig.cast("string").alias("sig")
     )
+    if max_bucket_size:
+        counts = base.groupBy("sig").agg(F.count("*").alias("n"))
+        n_sub = F.ceil(F.col("n") / max_bucket_size).cast("bigint")
+        base = base.join(F.broadcast(counts), "sig").withColumn(
+            "sig",
+            F.when(
+                F.col("n") > max_bucket_size,
+                F.concat_ws(
+                    "#", F.col("sig"), F.pmod(F.xxhash64("id"), n_sub).cast("string")
+                ),
+            ).otherwise(F.col("sig")),
+        ).drop("n")
     a, b = base.alias("a"), base.alias("b")
     dot = F.aggregate(
         F.zip_with(

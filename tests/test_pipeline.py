@@ -100,3 +100,115 @@ def test_rerun_completed_run_is_noop(spark, tables, tmp_path):
     )
     assert s["executed_groups"] == []
     assert len(s["resumed_buckets_skipped"]) == cfg.n_buckets
+
+
+def test_resume_with_all_buckets_done_runs_no_full_input_job(
+    spark, tables, tmp_path, monkeypatch
+):
+    """VERDICT r1 #6: a rerun over a completed run must not pay the
+    full-input metrics re-scan — profile/distribution_drift must not
+    even be called."""
+    import llm_drift_detector_spark.pipeline.runner as runner_mod
+
+    cfg = RunConfig(run_id="metrics_gate", out_dir=str(tmp_path / "mg"))
+    s1 = run_validation(
+        spark, tables["clips"], tables["transcripts"], tables["reference"], cfg
+    )
+    assert s1["global_metrics_computed"]
+
+    def boom(*a, **k):  # any full-input metrics pass on resume is a bug
+        raise AssertionError("full-input metrics pass ran on a completed resume")
+
+    monkeypatch.setattr(runner_mod, "profile", boom)
+    monkeypatch.setattr(runner_mod, "distribution_drift", boom)
+    s2 = run_validation(
+        spark, tables["clips"], tables["transcripts"], tables["reference"], cfg
+    )
+    assert s2["executed_groups"] == []
+    assert not s2["global_metrics_computed"]
+
+
+def test_partial_run_defers_global_metrics(spark, tables, tmp_path):
+    import os
+
+    cfg = RunConfig(run_id="partial", out_dir=str(tmp_path / "pm"))
+    s1 = run_validation(
+        spark, tables["clips"], tables["transcripts"], tables["reference"], cfg,
+        max_groups=2,
+    )
+    assert not s1["global_metrics_computed"]
+    assert not os.path.exists(f"{cfg.out_dir}/metrics")
+    s2 = run_validation(
+        spark, tables["clips"], tables["transcripts"], tables["reference"], cfg
+    )
+    assert s2["global_metrics_computed"]
+    assert spark.read.parquet(f"{cfg.out_dir}/metrics").count() > 0
+
+
+def test_bucket_partitioned_layout_prunes_and_matches(spark, tables, tmp_path):
+    """write_bucket_partitioned -> group scans become partition pruning
+    (PartitionFilters on bucket_id, not a full-scan computed predicate)
+    and the violation sets are unchanged."""
+    from llm_drift_detector_spark.pipeline.io import write_bucket_partitioned
+
+    paths = {}
+    for name in ("clips", "transcripts", "reference"):
+        paths[name] = str(tmp_path / f"b_{name}")
+        write_bucket_partitioned(tables[name], paths[name], n_buckets=32)
+    b_clips = spark.read.parquet(paths["clips"])
+    assert "bucket_id" in b_clips.columns
+
+    # the group filter must reach the scan as a PARTITION filter
+    plan = (
+        b_clips.where(b_clips.bucket_id.isin([0, 1]))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "bucket_id" in plan.split("PartitionFilters")[1][:200]
+
+    cfg = RunConfig(run_id="bucketed", out_dir=str(tmp_path / "bo"))
+    run_validation(
+        spark,
+        b_clips,
+        spark.read.parquet(paths["transcripts"]),
+        spark.read.parquet(paths["reference"]),
+        cfg,
+    )
+    got = violations_by_check(spark, cfg.out_dir, "bucketed")
+    exp = tables["expected"]
+    for check, ids in exp.items():
+        assert got.get(check, set()) == ids, check
+
+
+def test_merge_upsert_parquet_fallback_is_idempotent(spark, tmp_path):
+    from llm_drift_detector_spark.pipeline.io import merge_upsert
+
+    path = str(tmp_path / "m")
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
+    merge_upsert(spark, df, path, ["k"])
+    merge_upsert(spark, df, path, ["k"])  # replay: no duplicates
+    assert spark.read.parquet(path).count() == 2
+    more = spark.createDataFrame([("b", 9), ("c", 3)], "k string, v int")
+    merge_upsert(spark, more, path, ["k"])  # only the new key lands
+    rows = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert rows == {"a": 1, "b": 2, "c": 3}
+
+
+def test_merge_upsert_iceberg_catalog(spark, tmp_path):
+    """Real MERGE INTO through a v2 catalog — skips with reason when the
+    Iceberg runtime jar is absent (this sandbox has no network)."""
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+    except Exception:
+        pytest.skip("iceberg-spark-runtime jar not on the classpath")
+    from llm_drift_detector_spark.pipeline.io import merge_upsert
+
+    spark.conf.set("spark.sql.catalog.it", "org.apache.iceberg.spark.SparkCatalog")
+    spark.conf.set("spark.sql.catalog.it.type", "hadoop")
+    spark.conf.set("spark.sql.catalog.it.warehouse", str(tmp_path / "wh"))
+    spark.sql("CREATE TABLE it.db.t (k string, v int) USING iceberg")
+    df = spark.createDataFrame([("a", 1)], "k string, v int")
+    merge_upsert(spark, df, "table:it.db.t", ["k"])
+    merge_upsert(spark, df, "table:it.db.t", ["k"])
+    assert spark.table("it.db.t").count() == 1

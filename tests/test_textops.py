@@ -199,3 +199,68 @@ def test_topk_lsh_recall_and_near_duplicates(spark):
     nd = cosine_near_duplicates(df, "vec_id", "embedding", threshold=0.98)
     pairs = {(r.id_a, r.id_b) for r in nd.collect()}
     assert (7, 42) in pairs
+
+
+def test_mega_bucket_salting_bounds_pair_count(spark):
+    """VERDICT r1 #7: a bucket of N identical docs must NOT produce
+    ~N^2/2 candidate pairs when max_bucket_size caps it — salting bounds
+    pairs at ~N*cap/2 while keeping the cluster transitively connected."""
+    n, cap = 400, 20
+    docs = spark.createDataFrame(
+        [(i, "the same boilerplate license header text repeated here") for i in range(n)]
+        + [(n, "a genuinely different document about spark engines")],
+        "doc_id bigint, text string",
+    )
+    from llm_drift_detector_spark.textops import candidate_pairs
+
+    sh = shingles(docs, "doc_id", "text")
+    sig = minhash_signatures(sh, k=8)
+    cand = minhash_lsh_candidates(sig, k=8, bands=4, max_bucket_size=cap)
+    pairs = candidate_pairs(cand)
+    n_pairs = pairs.count()
+    naive = n * (n - 1) // 2  # 79_800
+    # each band partitions the mega-bucket differently (salt includes the
+    # band): ~bands * 20 sub-buckets x C(20,2) = ~15_200 distinct pairs,
+    # bounded by bands * n * cap / 2 = 16_000 — vs 79_800 unguarded
+    assert 0 < n_pairs <= 4 * n * cap // 2, (n_pairs, naive)
+    assert n_pairs < naive / 4
+
+    # verification stays pair-bounded and exact: identical docs -> jaccard 1.0
+    verified = ngram_jaccard_pairs(sh, min_jaccard=0.8, pairs=pairs)
+    rows = verified.collect()
+    assert len(rows) == n_pairs
+    assert all(r.jaccard == 1.0 for r in rows)
+
+    # transitive connectivity: union-find over surviving pairs links ALL
+    # n identical docs into one component
+    parent = list(range(n + 1))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in rows:
+        parent[find(int(r.id_a))] = find(int(r.id_b))
+    comps = {find(i) for i in range(n)}
+    assert len(comps) == 1
+
+
+def test_cosine_near_dup_bucket_guard(spark):
+    import numpy as np
+
+    from llm_drift_detector_spark.textops import cosine_near_duplicates
+
+    rng = np.random.default_rng(3)
+    base_vec = rng.standard_normal(16)
+    rows = [
+        (i, (base_vec + 0.001 * rng.standard_normal(16)).tolist()) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    guarded = cosine_near_duplicates(
+        df, "vec_id", "embedding", threshold=0.99, max_bucket_size=10
+    )
+    n_pairs = guarded.count()
+    assert 0 < n_pairs <= 200 * 10
+    assert n_pairs < 200 * 199 / 2 / 5
