@@ -33,9 +33,11 @@ import pyspark.sql.functions as F  # noqa: E402
 
 from llm_drift_detector_spark.drift import (  # noqa: E402
     centroid_cosine_frame,
+    grouped_distribution_drift_binned,
     js_psi_frame,
     ks_frame,
     psi_frame,
+    tag_windows,
     vocab_difference_frame,
 )
 from llm_drift_detector_spark.checks import profile  # noqa: E402
@@ -67,18 +69,30 @@ def main() -> None:
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
 
-    def run(name, thunk):
-        # two passes: the first warms page cache / JIT / python workers
-        # (cold-start noise dominates single samples — 2-4x run-to-run
-        # variance observed); the reported figure is the steady-state
-        # second pass.  Plans are rebuilt by the thunk each call, so no
-        # shuffle-file reuse fakes the number.
+    spread: dict[str, list[float]] = {}
+
+    def run(name, thunk, passes: int = 3):
+        # Measured single-pass times on this box are LONG-TAILED: the
+        # full validation union job ranges 7-50 s at sf0.1/local[32]
+        # across fresh JVMs (GC + stage-scheduling + python-worker churn
+        # — see tools/measure_validate.py, BENCH/BASELINE.md), which is
+        # how round 1 ended up with three irreconcilable single samples
+        # (17.2 / 37.2 / 45.1 s) and a warm-slower-than-cold inversion.
+        # So: one warmup pass (JIT, page cache, python workers; reported
+        # as `queries_cold`), then the MEDIAN of `passes` measured
+        # passes, with min/max spread.  Plans are rebuilt by the thunk
+        # each call, so no shuffle-file reuse fakes the number.
         t0 = time.time()
         thunk()
         cold[name] = round(time.time() - t0, 3)
-        t0 = time.time()
-        thunk()
-        timings[name] = round(time.time() - t0, 3)
+        xs = []
+        for _ in range(passes):
+            t0 = time.time()
+            thunk()
+            xs.append(round(time.time() - t0, 3))
+        xs.sort()
+        timings[name] = xs[len(xs) // 2]
+        spread[name] = [xs[0], xs[-1]]
 
     run(
         "validate_full",
@@ -86,6 +100,7 @@ def main() -> None:
         .groupBy("check_name")
         .count()
         .collect(),
+        passes=5,  # the headline number; widest tail, deepest sampling
     )
     run("stats_profile", lambda: profile(clips, ["sr_hz", "dur_ms"], SKETCH).collect())
     run(
@@ -94,6 +109,18 @@ def main() -> None:
             js_psi_frame(ref.select("dur_ms"), clips.select("dur_ms"), "dur_ms").collect(),
             psi_frame(ref.select("dur_ms"), clips.select("dur_ms"), "dur_ms", mode=SKETCH).collect(),
         ),
+    )
+    run(
+        "grouped_drift",
+        # per-codec drift (ref vs cur windows) for ALL groups in ONE job —
+        # the fully-native binned grouped detector (no Python)
+        lambda: grouped_distribution_drift_binned(
+            tag_windows(
+                ref.select("codec", "dur_ms"), clips.select("codec", "dur_ms")
+            ),
+            ["codec"],
+            "dur_ms",
+        ).collect(),
     )
     run(
         "ks_exact",
@@ -125,6 +152,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "queries_cold": cold,
+                "queries_spread": spread,
                 "sf": float(sf),
                 "clips": n_clips,
                 "clips_per_sec": round(n_clips / timings["validate_full"], 1),

@@ -60,6 +60,16 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    # Scratch (shuffle/spill) location.  On this single-box sandbox the
+    # lone VM disk's writeback stalls alternate benchmark passes (the
+    # deep-mode pair join writes ~4 GB shuffle/pass) — exactly the
+    # shared resource a real cluster multiplies per node.  Point scratch
+    # at tmpfs (SPARK_GRAFT_LOCAL_DIR=/dev/shm/spark-scratch) for
+    # measurements; leave unset for disk-backed defaults.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir:
+        os.makedirs(local_dir, exist_ok=True)
+        builder = builder.config("spark.local.dir", local_dir)
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

@@ -93,8 +93,25 @@ def main() -> None:
     n_cores, n4_cores = (
         int(x) for x in os.environ.get("SCALING_CORES", "4,16").split(",")
     )
-    r8 = run_level(n_cores, sf_dir, iters)
-    r32 = run_level(n4_cores, sf_dir, iters)
+    reps = int(os.environ.get("SCALING_REPS", "1"))
+    # INTERLEAVE the two levels across reps (N,4N,N,4N,...) and take the
+    # per-level minimum: the sandbox host's background noise (CPU steal,
+    # IO writeback) drifts on minute scales, so running all of N before
+    # all of 4N would bias the ratio by whatever the box was doing in
+    # each half.  Min over interleaved fresh-JVM reps estimates each
+    # level's steady-state kernel time under comparable conditions.
+    best: dict[str, dict] = {}
+    for _ in range(reps):
+        for cores in (n_cores, n4_cores):
+            r = run_level(cores, sf_dir, iters)
+            k = str(cores)
+            if k not in best or r["secs"] < best[k]["secs"]:
+                prev_all = best[k]["all_secs"] if k in best else []
+                r["all_secs"] = prev_all + r["all_secs"]
+                best[k] = r
+            else:
+                best[k]["all_secs"] += r["all_secs"]
+    r8, r32 = best[str(n_cores)], best[str(n4_cores)]
     assert r8["violations"] == r32["violations"], "violation sets must match"
     eff = r32["clips_per_sec"] / (4.0 * r8["clips_per_sec"])
     report = {
@@ -107,9 +124,7 @@ def main() -> None:
     print(json.dumps(report))
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    md = f"""# BENCH/BASELINE — two-cluster-size scaling evidence
-
-Generated {date.today().isoformat()} by `tools/scaling_bench.py` on
+    md = f"""Generated {date.today().isoformat()} by `tools/scaling_bench.py` on
 `{sf_dir}`-tier synthetic clips (no real cluster in the sandbox; the
 north rule's N -> 4N executor criterion is evidenced at two local
 parallelism levels per BASELINE.json guidance).  N = {r8['cores']}
@@ -148,7 +163,18 @@ Arrow maxRecordsPerBatch = 2048, payload-free hash join for SNR
 candidates, scan->mapInArrow for flac decode with salted repartition
 on xxhash64(clip_id, salt).
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    begin, end = "<!-- scaling:begin -->", "<!-- scaling:end -->"
+    if os.path.exists(path):
+        cur = open(path).read()
+        if begin in cur and end in cur:
+            # replace only the generated scaling section; hand-written
+            # sections (variance methodology, throughput reference,
+            # single-box ceiling, bucketed-join demo) are preserved
+            pre = cur.split(begin)[0]
+            post = cur.split(end)[1]
+            md = pre + begin + "\n" + md + "\n" + end + post
+    with open(path, "w") as f:
         f.write(md)
 
 
