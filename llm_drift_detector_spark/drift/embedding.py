@@ -36,6 +36,14 @@ def _dim(df: DataFrame, col: str) -> int:
     return int(row[0].d)
 
 
+# Above this dimensionality the d-expression aggregate stops being the
+# right plan: d avg() expressions generate O(d) Java code (Janino method
+# limits loom past ~1k terms; similarity.py hit them at 8x64) and the
+# partial-agg buffer is one row of width d anyway.  The posexplode form
+# shuffles tiny (pos, sum, cnt) partials instead — O(1) codegen, any d.
+CENTROID_EXPLODE_DIM = 256
+
+
 def centroid_frame(df: DataFrame, col: str, dim: int) -> DataFrame:
     """One row with avg_0..avg_{d-1}: the columnwise mean (A3 centroid)."""
     aggs = [
@@ -45,8 +53,24 @@ def centroid_frame(df: DataFrame, col: str, dim: int) -> DataFrame:
     return df.where(F.col(col).isNotNull()).agg(*aggs)
 
 
+def _centroid_exploded(df: DataFrame, col: str) -> dict[int, float]:
+    """High-d centroid: posexplode -> groupBy(pos).avg — one shuffle of
+    per-dimension partial aggregates, codegen-safe at any d."""
+    rows = (
+        df.where(F.col(col).isNotNull())
+        .select(F.posexplode(F.col(col)).alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("avg"))
+        .collect()
+    )
+    return {int(r.pos): float(r.avg) for r in rows}
+
+
 def centroid(df: DataFrame, col: str, dim: int | None = None) -> np.ndarray:
     dim = dim or _dim(df, col)
+    if dim > CENTROID_EXPLODE_DIM:
+        by_pos = _centroid_exploded(df, col)
+        return np.array([by_pos.get(i, 0.0) for i in range(dim)], dtype=np.float64)
     row = centroid_frame(df, col, dim).collect()[0]
     return np.array([row[f"avg_{i}"] for i in range(dim)], dtype=np.float64)
 

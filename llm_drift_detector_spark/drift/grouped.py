@@ -304,15 +304,19 @@ def grouped_distribution_drift_binned(
         .fillna(0, subset=["cr", "cc"])
     )
     width = (F.col("mx") - F.col("mn")) / nbins
+    # try_divide everywhere a group can be one-sided (e.g. a violation
+    # class present only in the CURRENT window -> n_ref = 0): ANSI mode
+    # raises DIVIDE_BY_ZERO otherwise; the nulls land only in rows the
+    # min-sample gate zeroes at the end.
     # JS grid densities (g=0): count/(n*w) + eps, renormalized per side
-    dens_r = F.col("cr") / (F.col("n_ref") * width) + F.lit(EPS)
-    dens_c = F.col("cc") / (F.col("n_cur") * width) + F.lit(EPS)
+    dens_r = F.try_divide(F.col("cr"), F.col("n_ref") * width) + F.lit(EPS)
+    dens_c = F.try_divide(F.col("cc"), F.col("n_cur") * width) + F.lit(EPS)
     grp = Window.partitionBy(*keys, "g")
-    p0 = dens_r / F.sum(dens_r).over(grp)
-    q0 = dens_c / F.sum(dens_c).over(grp)
+    p0 = F.try_divide(dens_r, F.sum(dens_r).over(grp))
+    q0 = F.try_divide(dens_c, F.sum(dens_c).over(grp))
     # PSI grid probabilities (g=1)
-    p1 = (F.col("cr") / F.sum("cr").over(grp) + EPS) / (1.0 + psi_nbins * EPS)
-    q1 = (F.col("cc") / F.sum("cc").over(grp) + EPS) / (1.0 + psi_nbins * EPS)
+    p1 = (F.try_divide(F.col("cr"), F.sum("cr").over(grp)) + EPS) / (1.0 + psi_nbins * EPS)
+    q1 = (F.try_divide(F.col("cc"), F.sum("cc").over(grp)) + EPS) / (1.0 + psi_nbins * EPS)
     cum = Window.partitionBy(*keys, "g").orderBy("bin").rowsBetween(
         Window.unboundedPreceding, 0
     )
@@ -343,7 +347,9 @@ def grouped_distribution_drift_binned(
 
     out = metrics.join(st, keys)
     value_range = F.greatest(F.col("range_ref"), F.col("range_cur"))
-    se = F.col("var_ref") / F.col("n_ref") + F.col("var_cur") / F.col("n_cur")
+    se = F.try_divide(F.col("var_ref"), F.col("n_ref")) + F.try_divide(
+        F.col("var_cur"), F.col("n_cur")
+    )
     gated = (F.col("n_ref") < min_samples) | (F.col("n_cur") < min_samples)
     return out.select(
         *keys,

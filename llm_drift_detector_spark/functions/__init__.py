@@ -8,3 +8,4 @@ from .scalars import (  # noqa: F401
     truncate_text,
     uuid_col,
 )
+from .embed import embed_texts, embedding_udf  # noqa: F401

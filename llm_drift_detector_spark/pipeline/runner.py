@@ -77,6 +77,16 @@ class RunConfig:
     drift_columns: tuple[str, ...] = ("dur_ms",)
     salt: int = 0
     snr_mode: str = "hash_shortcut"  # or "deep" (see checks/audio.py)
+    # config-driven check selection (reference plugins allow/blocklist,
+    # default_config.py:258-263): enabled_checks=None means all; names
+    # are CHECK_VERSIONS keys.  disabled wins over enabled.
+    enabled_checks: tuple[str, ...] | None = None
+    disabled_checks: tuple[str, ...] = ()
+
+    def check_active(self, name: str) -> bool:
+        if name in self.disabled_checks:
+            return False
+        return self.enabled_checks is None or name in self.enabled_checks
 
 
 def violations_frame(
@@ -123,34 +133,57 @@ def _violations_for_group(
             bucket_id("clip_id", cfg.n_buckets).alias("partition_id"),
         )
 
-    parts = [
-        shape(
-            domain_violations(clips_g, "sr_hz", SR_HZ_DOMAIN),
-            "sr_hz_domain",
-            F.to_json(F.struct(F.col("value"))),
-        ),
-        shape(
-            domain_violations(clips_g, "codec", CODEC_WHITELIST),
-            "codec_whitelist",
-            F.to_json(F.struct(F.col("value"))),
-        ),
-        shape(orphans(clips_g, transcripts_g), "referential_clip_orphan"),
-        shape(transcript_mismatches(clips_g, transcripts_g), "transcript_equality"),
-        audio_invariant_violations(
-            clips_g, reference_g, salt=cfg.salt, snr_mode=cfg.snr_mode
-        ).select(
-            "check_name",
-            "clip_id",
-            "detail",
-            bucket_id("clip_id", cfg.n_buckets).alias("partition_id"),
-        ),
-    ]
-    if include_global:
-        parts.insert(
-            0, shape(duplicate_keys(clips_g), "uniqueness", F.to_json(F.struct(F.col("n"))))
+    parts = []
+    if include_global and cfg.check_active("uniqueness"):
+        parts.append(
+            shape(duplicate_keys(clips_g), "uniqueness", F.to_json(F.struct(F.col("n"))))
         )
-        parts.insert(
-            4, shape(orphans(transcripts_g, clips_g), "referential_transcript_orphan")
+    if cfg.check_active("sr_hz_domain"):
+        parts.append(
+            shape(
+                domain_violations(clips_g, "sr_hz", SR_HZ_DOMAIN),
+                "sr_hz_domain",
+                F.to_json(F.struct(F.col("value"))),
+            )
+        )
+    if cfg.check_active("codec_whitelist"):
+        parts.append(
+            shape(
+                domain_violations(clips_g, "codec", CODEC_WHITELIST),
+                "codec_whitelist",
+                F.to_json(F.struct(F.col("value"))),
+            )
+        )
+    if cfg.check_active("referential_clip_orphan"):
+        parts.append(shape(orphans(clips_g, transcripts_g), "referential_clip_orphan"))
+    if include_global and cfg.check_active("referential_transcript_orphan"):
+        parts.append(
+            shape(orphans(transcripts_g, clips_g), "referential_transcript_orphan")
+        )
+    if cfg.check_active("transcript_equality"):
+        parts.append(
+            shape(transcript_mismatches(clips_g, transcripts_g), "transcript_equality")
+        )
+    audio_checks = [
+        c for c in ("dur_ms_mismatch", "snr_allclose") if cfg.check_active(c)
+    ]
+    if audio_checks:  # skip the decode stage entirely when both are off
+        parts.append(
+            audio_invariant_violations(
+                clips_g, reference_g, salt=cfg.salt, snr_mode=cfg.snr_mode
+            )
+            .where(F.col("check_name").isin(audio_checks))
+            .select(
+                "check_name",
+                "clip_id",
+                "detail",
+                bucket_id("clip_id", cfg.n_buckets).alias("partition_id"),
+            )
+        )
+    if not parts:
+        spark = clips_g.sparkSession
+        return spark.createDataFrame(
+            [], "check_name string, clip_id string, detail string, partition_id int"
         )
     out = parts[0]
     for p in parts[1:]:

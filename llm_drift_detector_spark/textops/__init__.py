@@ -1,4 +1,5 @@
 from .dedup import (  # noqa: F401
+    duplicate_clusters,
     exact_duplicates,
     candidate_pairs,
     minhash_lsh_candidates,

@@ -204,6 +204,58 @@ def ngram_jaccard_pairs(
     return out.where(F.col("jaccard") >= min_jaccard)
 
 
+def duplicate_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over (near-)duplicate pairs: (id, cluster_id),
+    cluster_id = the minimum id in the component.
+
+    Dedup consumers need components, not pairs (keep one doc per cluster).
+    Hash-min label propagation: every node starts labeled with itself;
+    each iteration every node takes the min label among itself and its
+    neighbors; stop at fixpoint.  Iterations = graph diameter — LSH
+    candidate graphs are near-cliques with band overlaps, so 2-4 rounds
+    in practice.  Each round is one join + one groupBy on (id, label)
+    pairs only (never text/payloads); labels persist per round and the
+    fixpoint check is a cheap count.  Not SQL-expressible (iterative) —
+    correctness is property-tested (chains, cliques, isolated pairs).
+    """
+    edges = pairs.select("id_a", "id_b")
+    sym = edges.unionAll(
+        edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).persist()
+    labels = (
+        sym.select(F.col("id_a").alias("id")).distinct().withColumn("label", F.col("id"))
+    ).persist()
+    labels.count()
+    for _ in range(max_iters):
+        nbr_min = (
+            sym.join(
+                labels.select(F.col("id").alias("id_b"), F.col("label").alias("nbr")),
+                "id_b",
+            )
+            .groupBy(F.col("id_a").alias("id"))
+            .agg(F.min("nbr").alias("nbr_min"))
+        )
+        new = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("label", "old"), "id")
+            .where(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select("id", F.col("label").alias("cluster_id"))
+
+
 def _hex_digit_val(c: Column) -> Column:
     return F.instr(F.lit("0123456789abcdef"), c) - 1
 

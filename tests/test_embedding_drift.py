@@ -93,3 +93,28 @@ def test_synth_rotation_window(spark, kind, should_trip):
     cur = emb_window(drift_params(base, kind))
     res = embedding_drift(ref, cur, use_mmd=True)
     assert res["drift_detected"] == should_trip, res
+
+
+def test_high_dim_centroid_exploded_path(spark):
+    """d > CENTROID_EXPLODE_DIM switches to the posexplode plan (codegen-
+    safe at any dimensionality) and matches the d-expression aggregate."""
+    import numpy as np
+
+    from llm_drift_detector_spark.drift.embedding import (
+        CENTROID_EXPLODE_DIM,
+        centroid,
+        centroid_frame,
+    )
+
+    d = CENTROID_EXPLODE_DIM + 64
+    rng = np.random.default_rng(2)
+    mat = rng.standard_normal((50, d))
+    df = spark.createDataFrame(
+        [(r.tolist(),) for r in mat], f"embedding array<double>"
+    )
+    got = centroid(df, "embedding", d)
+    assert got.shape == (d,)
+    assert np.allclose(got, mat.mean(axis=0), atol=1e-12)
+    # spot-check agreement with the low-d aggregate plan on a slice
+    row = centroid_frame(df, "embedding", 4).collect()[0]
+    assert np.allclose([row[f"avg_{i}"] for i in range(4)], got[:4], atol=1e-12)

@@ -214,3 +214,27 @@ def test_windowed_violation_counts_batch_semantics(spark):
     assert got[(0, "uniqueness")] == 2
     assert got[(1, "uniqueness")] == 1
     assert got[(1, "sr_hz_domain")] == 1
+
+
+def test_embed_texts_matches_stored_embeddings(spark, sf_dir):
+    """P2-P3: the Arrow pandas-UDF projection recomputes the transcripts
+    table's embedding column BIT-IDENTICALLY from the text (same
+    deterministic encoder the fixture generator used)."""
+    import numpy as np
+
+    from llm_drift_detector_spark.functions.embed import embed_texts
+    from llm_drift_detector_spark.synth import ensure_synth
+
+    root = ensure_synth(spark, sf_dir)
+    tr = spark.read.parquet(f"{root}/transcripts").limit(200)
+    got = embed_texts(
+        tr.select("clip_id", "transcript", F.col("embedding").alias("stored")),
+        "transcript",
+        out_col="recomputed",
+    ).collect()
+    assert len(got) == 200
+    for r in got:
+        assert np.array_equal(
+            np.asarray(r.stored, dtype=np.float32),
+            np.asarray(r.recomputed, dtype=np.float32),
+        ), r.clip_id

@@ -212,3 +212,34 @@ def test_merge_upsert_iceberg_catalog(spark, tmp_path):
     merge_upsert(spark, df, "table:it.db.t", ["k"])
     merge_upsert(spark, df, "table:it.db.t", ["k"])
     assert spark.table("it.db.t").count() == 1
+
+
+def test_config_driven_check_selection(spark, tables, tmp_path):
+    """Plugins allow/blocklist equivalent: enabled_checks/disabled_checks
+    on RunConfig gate which checks run (reference default_config.py
+    plugins.enabled/disabled)."""
+    from llm_drift_detector_spark.pipeline import violations_frame
+
+    args = (tables["clips"], tables["transcripts"], tables["reference"])
+
+    cfg = RunConfig(
+        run_id="sel", out_dir=str(tmp_path / "s1"),
+        disabled_checks=("snr_allclose", "uniqueness"),
+    )
+    got = {r.check_name for r in violations_frame(*args, cfg).collect()}
+    assert "snr_allclose" not in got and "uniqueness" not in got
+    assert "sr_hz_domain" in got
+
+    cfg2 = RunConfig(
+        run_id="sel2", out_dir=str(tmp_path / "s2"),
+        enabled_checks=("sr_hz_domain",),
+    )
+    got2 = {r.check_name for r in violations_frame(*args, cfg2).collect()}
+    assert got2 == {"sr_hz_domain"}
+
+    # disabled wins over enabled
+    cfg3 = RunConfig(
+        run_id="sel3", out_dir=str(tmp_path / "s3"),
+        enabled_checks=("sr_hz_domain",), disabled_checks=("sr_hz_domain",),
+    )
+    assert violations_frame(*args, cfg3).count() == 0

@@ -264,3 +264,21 @@ def test_cosine_near_dup_bucket_guard(spark):
     n_pairs = guarded.count()
     assert 0 < n_pairs <= 200 * 10
     assert n_pairs < 200 * 199 / 2 / 5
+
+
+def test_duplicate_clusters_connected_components(spark):
+    """Hash-min propagation: chain, clique, and isolated pair all resolve
+    to min-id components in <= diameter iterations."""
+    from llm_drift_detector_spark.textops import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4-5, clique {10,11,12}, pair {20,21}
+        [(1, 2), (2, 3), (3, 4), (4, 5),
+         (10, 11), (10, 12), (11, 12),
+         (20, 21)],
+        "id_a bigint, id_b bigint",
+    )
+    got = {r.id: r.cluster_id for r in duplicate_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10,
+                   20: 20, 21: 20}
