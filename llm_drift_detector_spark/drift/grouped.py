@@ -297,8 +297,16 @@ def grouped_distribution_drift_binned(
             F.lit(1).alias("g"), F.col("id").cast("int").alias("bin")
         )
     )
+    # carry ALL per-group stats through the bins frame so the final
+    # reduction needs no extra join back to st (st still executes twice —
+    # once here, once inside the binning broadcast — vs three times in
+    # the naive dense+join-metrics shape)
+    st_cols = [
+        "n_ref", "n_cur", "mn", "mx",
+        "mean_ref", "var_ref", "mean_cur", "var_cur", "range_ref", "range_cur",
+    ]
     dense = (
-        st.select(*keys, "n_ref", "n_cur", "mn", "mx")
+        st.select(*keys, *st_cols)
         .join(F.broadcast(bins), how="cross")
         .join(counts, [*keys, "g", "bin"], "left")
         .fillna(0, subset=["cr", "cc"])
@@ -324,6 +332,7 @@ def grouped_distribution_drift_binned(
     fq = F.sum(q0).over(cum)
     per_bin = dense.select(
         *keys,
+        *st_cols,
         "g",
         F.when(
             (F.col("g") == 0) & (F.col("mx") > F.col("mn")),
@@ -338,14 +347,13 @@ def grouped_distribution_drift_binned(
         .alias("ecdf_gap"),
         width.alias("width"),
     )
-    metrics = per_bin.groupBy(*keys).agg(
+    out = per_bin.groupBy(*keys).agg(
         F.sum("js_term").cast("double").alias("js"),
         F.sum("psi_term").cast("double").alias("psi"),
         F.max("ecdf_gap").cast("double").alias("ks_d"),
         (F.sum("ecdf_gap") * F.first("width")).cast("double").alias("wd"),
+        *[F.first(c).alias(c) for c in st_cols if c not in ("mn", "mx")],
     )
-
-    out = metrics.join(st, keys)
     value_range = F.greatest(F.col("range_ref"), F.col("range_cur"))
     se = F.try_divide(F.col("var_ref"), F.col("n_ref")) + F.try_divide(
         F.col("var_cur"), F.col("n_cur")
