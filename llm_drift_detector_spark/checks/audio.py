@@ -245,6 +245,7 @@ def audio_invariant_violations(
     n_partitions: int | None = None,
     salt: int = 0,
     snr_mode: str = "hash_shortcut",
+    max_fetch_ids: int = 100_000,
 ) -> DataFrame:
     """Violation rows (clip_id, check_name, detail) from the decode checks.
 
@@ -325,12 +326,29 @@ def audio_invariant_violations(
     )
 
     # --- 4. targeted payload fetch for the differing rows only ---
-    fetch_cur = cur.join(F.broadcast(differing_ids), "clip_id")
-    fetch_ref = reference.select(
-        "clip_id",
-        F.col("bytes").alias("ref_bytes"),
-        F.col("codec").alias("ref_codec"),
-    ).join(F.broadcast(differing_ids), "clip_id")
+    # A broadcast join does NOT push ids into the parquet scan, so the
+    # fetch re-reads the full payload column a third time.  When the
+    # differing set is small (it is the table's violation rate — the
+    # expected case), collect the ids and push an isin() literal filter
+    # instead: Catalyst emits PushedFilters In(clip_id, ...) and the scan
+    # prunes to the row groups containing violators.  Above the cap
+    # (driver-memory guard), fall back to the broadcast join.
+    id_rows = differing_ids.limit(max_fetch_ids + 1).collect()
+    if len(id_rows) <= max_fetch_ids:
+        ids = [r.clip_id for r in id_rows]
+        fetch_cur = cur.where(F.col("clip_id").isin(ids))
+        fetch_ref = reference.select(
+            "clip_id",
+            F.col("bytes").alias("ref_bytes"),
+            F.col("codec").alias("ref_codec"),
+        ).where(F.col("clip_id").isin(ids))
+    else:
+        fetch_cur = cur.join(F.broadcast(differing_ids), "clip_id")
+        fetch_ref = reference.select(
+            "clip_id",
+            F.col("bytes").alias("ref_bytes"),
+            F.col("codec").alias("ref_codec"),
+        ).join(F.broadcast(differing_ids), "clip_id")
     pairs = fetch_cur.join(fetch_ref, "clip_id")
     snr_viol = pairs.mapInArrow(_snr_arrow, schema=AUDIO_VIOLATIONS_SCHEMA)
 

@@ -117,6 +117,35 @@ def recent_window(df: DataFrame, ts_col: str, hours: float, now=None) -> DataFra
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    seed: int = 7,
+    exact_k: int | None = None,
+) -> DataFrame:
+    """O6 weighted/stratified sampling.
+
+    Default: native ``sampleBy`` — one scan, per-stratum Bernoulli
+    acceptance, no shuffle (row counts are approximate, the scale path).
+    ``exact_k``: exactly k rows per stratum via a seeded per-stratum
+    rank window (deterministic, one shuffle on the strata column) — the
+    small-side path when downstream needs fixed sample sizes (e.g. the
+    MMD cap).
+    """
+    if exact_k is None:
+        return df.sampleBy(strata_col, fractions, seed)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy(F.xxhash64(F.struct(*df.columns), F.lit(seed)))
+    return (
+        df.where(F.col(strata_col).isin(list(fractions)))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= exact_k)
+        .drop("_rn")
+    )
+
+
 def last_n_per_group(
     df: DataFrame, order_col: str, n: int, group_cols: list[str] | None = None
 ) -> DataFrame:

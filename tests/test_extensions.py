@@ -238,3 +238,21 @@ def test_embed_texts_matches_stored_embeddings(spark, sf_dir):
             np.asarray(r.stored, dtype=np.float32),
             np.asarray(r.recomputed, dtype=np.float32),
         ), r.clip_id
+
+
+def test_weighted_sample_modes(spark):
+    """O6: sampleBy fractions (approximate) and exact-k per stratum."""
+    from llm_drift_detector_spark.pipeline.io import weighted_sample
+
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(2000)]
+    df = spark.createDataFrame(rows, "id int, grp string")
+    s = weighted_sample(df, "grp", {"a": 0.5, "b": 0.1}, seed=3)
+    counts = {r.grp: r.cnt for r in s.groupBy("grp").agg(F.count("*").alias("cnt")).collect()}
+    assert 350 < counts["a"] < 650 and 30 < counts["b"] < 180
+    ek = weighted_sample(df, "grp", {"a": 1.0, "b": 1.0}, seed=3, exact_k=25)
+    ek_counts = {r.grp: r.cnt for r in ek.groupBy("grp").agg(F.count("*").alias("cnt")).collect()}
+    assert ek_counts == {"a": 25, "b": 25}
+    # deterministic across invocations
+    ids1 = sorted(r.id for r in weighted_sample(df, "grp", {"a": 1.0}, seed=3, exact_k=10).collect())
+    ids2 = sorted(r.id for r in weighted_sample(df, "grp", {"a": 1.0}, seed=3, exact_k=10).collect())
+    assert ids1 == ids2
