@@ -294,6 +294,28 @@ def q_topic_histogram_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round(topic_histogram(assign_topics(e, "embedding")), 6).orderBy("topic")
 
 
+def q_dedup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component dedup clusters over injected exact-duplicate
+    pairs (docs 0-4 re-added under doc_id+10000): the iterative hash-min
+    operator, oracle-checked because exact-dup components are trivially
+    SQL-expressible (min id per md5 group)."""
+    from llm_drift_detector_spark.textops import duplicate_clusters, exact_duplicates
+
+    d = _t(spark, sf_dir, "documents")
+    dups = d.orderBy("doc_id").limit(5).withColumn(
+        "doc_id", F.col("doc_id") + 10000
+    )
+    both = d.unionAll(dups)
+    groups = exact_duplicates(both, "doc_id", "text")
+    a, b = groups.alias("a"), groups.alias("b")
+    pairs = (
+        a.join(b, "dup_group")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    return duplicate_clusters(pairs).orderBy("id")
+
+
 def q_dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_duplicates(_docs_with_dups(spark, sf_dir), "doc_id", "text").orderBy(
         "id"
@@ -794,6 +816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clips_orphan_transcripts": q_clips_orphan_transcripts,
         "perplexity_unigram_documents": q_perplexity_unigram_documents,
         "topic_histogram_embeddings": q_topic_histogram_embeddings,
+        "dedup_clusters_documents": q_dedup_clusters_documents,
         "dedup_exact_documents": q_dedup_exact_documents,
         "dedup_minhash_documents": q_dedup_minhash_documents,
         "dedup_simhash_documents": q_dedup_simhash_documents,
@@ -1538,6 +1561,14 @@ def oracle_sql() -> dict[str, str]:
         "drift_psi_quantile_events": _psi_quantile_sql(_EVENTS_REF, _EVENTS_CUR, 10),
         "perplexity_unigram_documents": _perplexity_sql(),
         "topic_histogram_embeddings": _topic_hist_sql(),
+        "dedup_clusters_documents": """
+            WITH dups AS (SELECT doc_id + 10000 AS doc_id, text FROM
+                          (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 5)),
+            uni AS (SELECT doc_id, text FROM documents UNION ALL SELECT * FROM dups),
+            g AS (SELECT doc_id AS id, md5(text) AS grp FROM uni),
+            c AS (SELECT grp, count(*) AS n, min(id) AS cluster_id FROM g GROUP BY grp)
+            SELECT id, cluster_id FROM g JOIN c USING (grp) WHERE n > 1 ORDER BY id
+        """,
         "dedup_exact_documents": _dedup_exact_sql(),
         "dedup_minhash_documents": _minhash_sql(8),
         "dedup_simhash_documents": _simhash_sql(SIMHASH_BITS),
