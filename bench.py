@@ -51,6 +51,12 @@ from llm_drift_detector_spark.synth.clips import EMBED_DIM  # noqa: E402
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # shuffle scratch on tmpfs: the sandbox VM's lone disk stalls
+    # alternate passes with writeback (BENCH/BASELINE.md methodology);
+    # a real cluster has per-node disks, so disk-backed scratch here
+    # measures the box, not the plan.  Override/disable via env.
+    if "SPARK_GRAFT_LOCAL_DIR" not in os.environ and os.path.isdir("/dev/shm"):
+        os.environ["SPARK_GRAFT_LOCAL_DIR"] = "/dev/shm/spark-scratch"
     sf = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
     spark = get_spark(
         master=f"local[{cpus}]",
