@@ -8,7 +8,7 @@ Usage (cluster or local):
         --clips  <path-or-table> --transcripts <path> --reference <path> \
         --out    /path/to/run-output \
         --run-id nightly-2026-08-16 [--buckets 4096] [--groups 64] \
-        [--sketch]
+        [--exact] [--snr-mode deep] [--disable-checks snr_allclose]
 
 Re-running with the same --run-id/--out resumes: buckets already
 checkpointed are skipped (see pipeline/runner.py).  Inputs may be
@@ -39,8 +39,16 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--buckets", type=int, default=32)
     p.add_argument("--groups", type=int, default=4)
     p.add_argument("--salt", type=int, default=0)
-    p.add_argument("--sketch", action="store_true", help="approx stats mode (10^12-row path)")
+    p.add_argument(
+        "--exact", action="store_true",
+        help="exact stats mode (single-task sort KS / full percentile); "
+        "default is the sketch mode — the 10^12-row path",
+    )
+    p.add_argument("--sketch", action="store_true", help="(default; kept for compat)")
+    p.add_argument("--snr-mode", default="hash_shortcut", choices=("hash_shortcut", "deep"))
     p.add_argument("--drift-columns", default="dur_ms")
+    p.add_argument("--enable-checks", default="", help="comma list; empty = all")
+    p.add_argument("--disable-checks", default="", help="comma list; wins over enable")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -55,9 +63,12 @@ def main(argv: list[str] | None = None) -> int:
         out_dir=args.out,
         n_buckets=args.buckets,
         groups=args.groups,
-        mode=SKETCH if args.sketch else EXACT,
+        mode=EXACT if args.exact else SKETCH,
         drift_columns=tuple(c for c in args.drift_columns.split(",") if c),
         salt=args.salt,
+        snr_mode=args.snr_mode,
+        enabled_checks=tuple(c for c in args.enable_checks.split(",") if c) or None,
+        disabled_checks=tuple(c for c in args.disable_checks.split(",") if c),
     )
     summary = run_validation(
         spark,
