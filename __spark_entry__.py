@@ -570,6 +570,28 @@ def q_drift_by_group_binned_events(spark: SparkSession, sf_dir: str) -> DataFram
     return _round(out.select(*_GROUPED_COLS), 6).orderBy("grp")
 
 
+def q_drift_multi_feature_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift for THREE lineitem features (F vs O linestatus windows) in
+    ONE job — multi_feature_drift stacks the columns and reuses the
+    fully-native binned grouped detector with feature name as the key."""
+    from llm_drift_detector_spark.drift import multi_feature_drift
+
+    li = _t(spark, sf_dir, "lineitem")
+    ref = li.where(F.col("l_linestatus") == "F")
+    cur = li.where(F.col("l_linestatus") != "F")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    out = multi_feature_drift(
+        ref, cur, cols, nbins=ORACLE_NBINS, psi_nbins=10, exact_edges=True
+    )
+    return _round(
+        out.select(
+            F.col("feature").alias("grp"),
+            *[c for c in _GROUPED_COLS if c != "grp"],
+        ),
+        6,
+    ).orderBy("grp")
+
+
 def q_drift_js_psi_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref, cur = _events_windows(spark, sf_dir)
     return _round(js_psi_frame(ref, cur, "value", nbins=ORACLE_NBINS), 6)
@@ -790,6 +812,7 @@ def q_stream_validate_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "drift_by_group_events": q_drift_by_group_events,
+        "drift_multi_feature_lineitem": q_drift_multi_feature_lineitem,
         "drift_by_group_binned_events": q_drift_by_group_binned_events,
         "drift_js_psi_events": q_drift_js_psi_events,
         "drift_ks_events": q_drift_ks_events,
@@ -1431,11 +1454,32 @@ def _stream_validate_sql() -> str:
     """
 
 
-def _grouped_drift_sql(exact_ecdf: bool, nbins: int, psi_nbins: int) -> str:
+_EVENTS_GROUPED_U = """
+      SELECT event_type AS grp, value::DOUBLE AS v,
+             CASE WHEN ts < TIMESTAMP '{t}' THEN 1 ELSE 0 END AS r,
+             CASE WHEN ts < TIMESTAMP '{t}' THEN 0 ELSE 1 END AS c
+      FROM events WHERE value IS NOT NULL"""
+
+_LINEITEM_FEATURES = ("l_quantity", "l_extendedprice", "l_discount")
+
+_LINEITEM_STACK_U = " UNION ALL ".join(
+    f"""
+      SELECT '{c}' AS grp, {c}::DOUBLE AS v,
+             CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END AS r,
+             CASE WHEN l_linestatus = 'F' THEN 0 ELSE 1 END AS c
+      FROM lineitem WHERE {c} IS NOT NULL"""
+    for c in _LINEITEM_FEATURES
+)
+
+
+def _grouped_drift_sql(
+    exact_ecdf: bool, nbins: int, psi_nbins: int, u_sql: str | None = None
+) -> str:
     """Per-group drift oracle: same arithmetic as the single-pair SQL
     oracles, windowed/grouped by `grp`.  exact_ecdf selects union-ECDF
     KS/W1 (the applyInPandas variant) vs binned-ECDF (the native binned
     variant); JS/PSI/t are identical in both."""
+    u_sql = u_sql or _EVENTS_GROUPED_U.format(t=EVENTS_SPLIT_TS)
     qs = ", ".join(str(i / psi_nbins) for i in range(1, psi_nbins))
     if exact_ecdf:
         ks_w1 = f"""
@@ -1462,11 +1506,7 @@ def _grouped_drift_sql(exact_ecdf: bool, nbins: int, psi_nbins: int) -> str:
                    sum(abs(fp - fq)) * any_value(binw) AS wd
             FROM ecum GROUP BY grp)"""
     return f"""
-    WITH u AS (
-      SELECT event_type AS grp, value::DOUBLE AS v,
-             CASE WHEN ts < TIMESTAMP '{EVENTS_SPLIT_TS}' THEN 1 ELSE 0 END AS r,
-             CASE WHEN ts < TIMESTAMP '{EVENTS_SPLIT_TS}' THEN 0 ELSE 1 END AS c
-      FROM events WHERE value IS NOT NULL),
+    WITH u AS ({u_sql}),
     st AS (SELECT grp, min(v) AS mn, max(v) AS mx,
                   sum(r)::DOUBLE AS nr, sum(c)::DOUBLE AS nc,
                   max(v) FILTER (WHERE r = 1) - min(v) FILTER (WHERE r = 1) AS range_r,
@@ -1553,6 +1593,9 @@ def oracle_sql() -> dict[str, str]:
     codec_list = ", ".join(f"'{c}'" for c in CODEC_WHITELIST)
     return {
         "drift_by_group_events": _grouped_drift_sql(True, ORACLE_NBINS, 10),
+        "drift_multi_feature_lineitem": _grouped_drift_sql(
+            False, ORACLE_NBINS, 10, u_sql=_LINEITEM_STACK_U
+        ),
         "drift_by_group_binned_events": _grouped_drift_sql(False, ORACLE_NBINS, 10),
         "drift_js_psi_events": _js_psi_sql(_EVENTS_REF, _EVENTS_CUR, ORACLE_NBINS),
         "drift_ks_events": _ks_sql(_EVENTS_REF, _EVENTS_CUR),

@@ -14,6 +14,7 @@ from .comparators import (  # noqa: F401
 from .grouped import (  # noqa: F401
     grouped_distribution_drift,
     grouped_distribution_drift_binned,
+    multi_feature_drift,
     tag_windows,
 )
 from .embedding import (  # noqa: F401

@@ -385,3 +385,29 @@ def grouped_distribution_drift_binned(
         ],
         gated.alias("gated"),
     )
+
+
+def multi_feature_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    columns: list[str],
+    exact: bool = False,
+    **kwargs,
+) -> DataFrame:
+    """Drift for MANY feature columns in ONE job — one row per feature.
+
+    The reference's detector loops features inside one detect() call
+    (``detectors/distribution.py:62-87``); the single-pair
+    :func:`~..comparators.distribution_drift` is per-column (<=3 actions
+    each).  This wrapper stacks the columns into (feature, v) rows and
+    reuses the grouped detectors with the feature NAME as the group key,
+    so N features cost the same shuffles as one.  ``exact=True`` routes
+    through the applyInPandas suite (adds p-values; per-feature data
+    must fit a worker); default is the fully-native binned path.
+    """
+    n = len(columns)
+    args = ", ".join(f"'{c}', cast(`{c}` as double)" for c in columns)
+    stack = f"stack({n}, {args}) AS (feature, v)"
+    tagged = tag_windows(ref.selectExpr(stack), cur.selectExpr(stack))
+    fn = grouped_distribution_drift if exact else grouped_distribution_drift_binned
+    return fn(tagged, ["feature"], "v", **kwargs)

@@ -110,3 +110,31 @@ def test_tag_windows_roundtrip(spark):
     t = tag_windows(ra, rb)
     n = {r.side: r.cnt for r in t.groupBy("side").count().withColumnRenamed("count", "cnt").collect()}
     assert n == {"ref": 400, "cur": 350}
+
+
+def test_multi_feature_drift_matches_per_column(spark):
+    """N feature columns in one job == the per-column frame builders."""
+    from llm_drift_detector_spark.drift import (
+        multi_feature_drift,
+    )
+
+    rng = np.random.default_rng(23)
+    ref_rows = [(float(a), float(b)) for a, b in
+                zip(rng.normal(5, 1, 300), rng.exponential(2, 300))]
+    cur_rows = [(float(a), float(b)) for a, b in
+                zip(rng.normal(7, 1, 280), rng.exponential(2, 280))]
+    ref = spark.createDataFrame(ref_rows, "x double, y double")
+    cur = spark.createDataFrame(cur_rows, "x double, y double")
+
+    got = {r.feature: r for r in
+           multi_feature_drift(ref, cur, ["x", "y"], nbins=40, exact_edges=True).collect()}
+    assert set(got) == {"x", "y"}
+    for col in ("x", "y"):
+        js = js_psi_frame(ref.select(col), cur.select(col), col, nbins=40).collect()[0].js
+        assert got[col].js == pytest.approx(js, abs=1e-9), col
+        psi = psi_frame(ref.select(col), cur.select(col), col, nbins=10).collect()[0].psi
+        assert got[col].psi == pytest.approx(psi, abs=1e-9), col
+    # exact variant carries p-values
+    ex = {r.feature: r for r in multi_feature_drift(ref, cur, ["x", "y"], exact=True).collect()}
+    assert ex["x"].ks_p < 0.05 and ex["x"].drift_detected  # mean shift on x
+    assert ex["y"].ks_p > 0.05
