@@ -75,27 +75,55 @@ def centroid(df: DataFrame, col: str, dim: int | None = None) -> np.ndarray:
     return np.array([row[f"avg_{i}"] for i in range(dim)], dtype=np.float64)
 
 
+# Above this dimensionality the d-term element_at expression sums stop
+# being safe: O(d) generated Java blows past Janino's method-size limit
+# (textops/similarity.py:27-31 hit this at 8x64 planes) and codegen
+# falls back to interpreted mode.  The zip_with/aggregate HOF form is
+# ONE compact expression at any d (HOFs evaluate JVM-side, outside
+# whole-stage codegen by design — deliberate, asserted in tests).
+VECTOR_EXPR_DIM = 256
+
+
+def _lit_arr(vec: np.ndarray) -> Column:
+    # foldable CreateArray of literals — constant-folded by Catalyst
+    return F.array(*[F.lit(float(v)) for v in vec])
+
+
 def _dot_lit(col: str, vec: np.ndarray) -> Column:
-    return sum(
-        (
-            F.element_at(F.col(col), i + 1).cast("double") * float(v)
-            for i, v in enumerate(vec)
-        ),
-        F.lit(0.0),
+    if len(vec) <= VECTOR_EXPR_DIM:
+        return sum(
+            (
+                F.element_at(F.col(col), i + 1).cast("double") * float(v)
+                for i, v in enumerate(vec)
+            ),
+            F.lit(0.0),
+        )
+    prods = F.zip_with(
+        F.col(col).cast("array<double>"), _lit_arr(vec), lambda x, y: x * y
     )
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
 
 def _row_norm(col: str, dim: int) -> Column:
-    return F.sqrt(
-        sum(
-            (F.pow(F.element_at(F.col(col), i + 1).cast("double"), 2) for i in range(dim)),
-            F.lit(0.0),
+    if dim <= VECTOR_EXPR_DIM:
+        return F.sqrt(
+            sum(
+                (F.pow(F.element_at(F.col(col), i + 1).cast("double"), 2) for i in range(dim)),
+                F.lit(0.0),
+            )
         )
+    sq = F.aggregate(
+        F.col(col).cast("array<double>"), F.lit(0.0), lambda acc, x: acc + x * x
     )
+    return F.sqrt(sq)
 
 
 def _dist_to_lit(col: str, vec: np.ndarray, metric: str) -> Column:
-    """Per-row distance to a constant vector, as a native expression."""
+    """Per-row distance to a constant vector, as a native expression.
+
+    d <= VECTOR_EXPR_DIM uses codegen'd element_at sums; above that the
+    zip_with/aggregate HOF form keeps the plan compiling at any d
+    (d=1024 asserted in tests/test_embedding_drift.py)."""
     d = len(vec)
     if metric == "cosine":
         vnorm = float(np.linalg.norm(vec))
@@ -105,13 +133,19 @@ def _dist_to_lit(col: str, vec: np.ndarray, metric: str) -> Column:
             (rn > 0) & F.lit(vnorm > 0), 1.0 - dot / (rn * F.lit(vnorm))
         ).otherwise(F.lit(1.0))
     # euclidean / sqrt(d) (embedding.py:189-190 normalization)
-    sq = sum(
-        (
-            F.pow(F.element_at(F.col(col), i + 1).cast("double") - float(v), 2)
-            for i, v in enumerate(vec)
-        ),
-        F.lit(0.0),
-    )
+    if d <= VECTOR_EXPR_DIM:
+        sq = sum(
+            (
+                F.pow(F.element_at(F.col(col), i + 1).cast("double") - float(v), 2)
+                for i, v in enumerate(vec)
+            ),
+            F.lit(0.0),
+        )
+    else:
+        diffs = F.zip_with(
+            F.col(col).cast("array<double>"), _lit_arr(vec), lambda x, y: (x - y) * (x - y)
+        )
+        sq = F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
     return F.sqrt(sq) / math.sqrt(d)
 
 
@@ -200,9 +234,46 @@ def embedding_drift(
     detector_threshold: float = EMBEDDING_DETECTOR_THRESHOLD,
     min_samples: int = MIN_SAMPLES,
 ) -> dict:
-    """Full reference embedding-detector semantics (C6-C10)."""
-    n_ref = ref.where(F.col(col).isNotNull()).count()
-    n_cur = cur.where(F.col(col).isNotNull()).count()
+    """Full reference embedding-detector semantics (C6-C10), FUSED.
+
+    <= 3 Spark actions total (asserted in tests), each one pass:
+    1. one tagged-union posexplode aggregate: BOTH centroids + BOTH row
+       counts in a single groupBy(pos) job (map-side combined — tasks
+       shuffle at most d tiny partial rows, codegen-safe at any d);
+    2. one tagged-union aggregate computing all three mean distances
+       (ref->c_ref, cur->c_cur, cur->c_ref) against the collected
+       centroid literals;
+    3. one union window-sample job for the two MMD subsamples.
+    Gated runs (either side under min_samples) stop after action 1.
+    The reference orchestrates the same math eagerly per frame
+    (``detectors/embedding.py:60-248``); r2's version issued ~9 actions.
+    """
+    from pyspark.sql import Window
+
+    tagged = (
+        ref.where(F.col(col).isNotNull())
+        .select(F.col(col).alias("e"), F.lit(1).alias("is_ref"))
+        .unionByName(
+            cur.where(F.col(col).isNotNull())
+            .select(F.col(col).alias("e"), F.lit(0).alias("is_ref"))
+        )
+    )
+
+    # --- action 1: counts + both centroids, one posexplode aggregate ---
+    is_r = F.col("is_ref") == 1
+    stats = (
+        tagged.select("is_ref", F.posexplode("e").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(
+            F.avg(F.when(is_r, F.col("x").cast("double"))).alias("a"),
+            F.avg(F.when(~is_r, F.col("x").cast("double"))).alias("b"),
+            F.count(F.when(is_r, 1)).alias("nr"),
+            F.count(F.when(~is_r, 1)).alias("nc"),
+        )
+        .collect()
+    )
+    n_ref = max((int(r.nr) for r in stats), default=0)
+    n_cur = max((int(r.nc) for r in stats), default=0)
     result: dict = {
         "metric_name": "embedding_distance",
         "reference_size": n_ref,
@@ -213,15 +284,22 @@ def embedding_drift(
         result.update({"drift_score": 0.0, "drift_detected": False, "gated": True})
         return result
 
-    dim = _dim(ref, col)
-    c_ref = centroid(ref, col, dim)
-    c_cur = centroid(cur, col, dim)
+    dim = len(stats)
+    by_pos = {int(r.pos): r for r in stats}
+    c_ref = np.array([by_pos[i].a for i in range(dim)], dtype=np.float64)
+    c_cur = np.array([by_pos[i].b for i in range(dim)], dtype=np.float64)
     centroid_distance = _np_dist(c_ref, c_cur, metric)
 
-    ref_intra = mean_dist_frame(ref, col, c_ref, metric).collect()[0].mean_dist or 0.0
-    cur_intra = mean_dist_frame(cur, col, c_cur, metric).collect()[0].mean_dist or 0.0
+    # --- action 2: all three mean distances in one pass ---
+    drow = tagged.agg(
+        F.avg(F.when(is_r, _dist_to_lit("e", c_ref, metric))).alias("ri"),
+        F.avg(F.when(~is_r, _dist_to_lit("e", c_cur, metric))).alias("ci"),
+        F.avg(F.when(~is_r, _dist_to_lit("e", c_ref, metric))).alias("ar"),
+    ).collect()[0]
+    ref_intra = float(drow.ri or 0.0)
+    cur_intra = float(drow.ci or 0.0)
+    avg_dist_to_ref = float(drow.ar or 0.0)
     variance_change = abs(cur_intra - ref_intra) / max(ref_intra, 1e-10)
-    avg_dist_to_ref = mean_dist_frame(cur, col, c_ref, metric).collect()[0].mean_dist or 0.0
 
     drift_score = 0.6 * centroid_distance + 0.2 * variance_change + 0.2 * avg_dist_to_ref
     analysis = {
@@ -233,8 +311,16 @@ def embedding_drift(
         "distance_metric": metric,
     }
     if use_mmd and n_ref > 10 and n_cur > 10:
-        x = sample_embeddings(ref, col, mmd_cap, seed)
-        y = sample_embeddings(cur, col, mmd_cap, seed + 1)
+        # --- action 3: both <=cap subsamples in ONE window job ---
+        w = Window.partitionBy("is_ref").orderBy(F.rand(seed))
+        rows = (
+            tagged.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= mmd_cap)
+            .select("is_ref", "e")
+            .collect()
+        )
+        x = np.array([r.e for r in rows if r.is_ref == 1], dtype=np.float64)
+        y = np.array([r.e for r in rows if r.is_ref == 0], dtype=np.float64)
         mmd = mmd_cosine(x, y)
         analysis["mmd"] = mmd
         drift_score = 0.5 * drift_score + 0.5 * min(mmd, 1.0)
