@@ -21,10 +21,12 @@ from .embedding import (  # noqa: F401
     centroid,
     centroid_cosine_frame,
     embedding_drift,
+    grouped_embedding_drift,
     mean_dist_frame,
     mmd_cosine,
 )
 from .lexical import (  # noqa: F401
+    grouped_lexical_drift,
     lexical_drift,
     style_features_frame,
     token_counts,

@@ -223,6 +223,143 @@ def mmd_cosine(x: np.ndarray, y: np.ndarray) -> float:
     return float(max(0.0, mmd))
 
 
+def _dist_to_vec_col(e: Column, cvec: Column, metric: str) -> Column:
+    """Per-row distance of array column `e` to a PER-ROW centroid array
+    column `cvec` (same value within a group) — pure HOF, any d."""
+    ed = e.cast("array<double>")
+    if metric == "cosine":
+        dot = F.aggregate(
+            F.zip_with(ed, cvec, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        )
+        rn = F.sqrt(F.aggregate(ed, F.lit(0.0), lambda a, x: a + x * x))
+        cn = F.sqrt(F.aggregate(cvec, F.lit(0.0), lambda a, x: a + x * x))
+        return F.when((rn > 0) & (cn > 0), 1.0 - dot / (rn * cn)).otherwise(F.lit(1.0))
+    sq = F.aggregate(
+        F.zip_with(ed, cvec, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return F.sqrt(sq) / F.sqrt(F.size(cvec).cast("double"))
+
+
+def grouped_embedding_drift(
+    df: DataFrame,
+    keys: list[str],
+    col: str = "embedding",
+    side_col: str = "side",
+    metric: str = "cosine",
+    detector_threshold: float = EMBEDDING_DETECTOR_THRESHOLD,
+    min_samples: int = MIN_SAMPLES,
+) -> DataFrame:
+    """Per-group C6-C9 for ALL groups in ONE plan — no Python anywhere.
+
+    The reference loops the embedding detector per (provider, model)
+    (``monitoring/metrics.py:436-484``, ``detectors/__init__.py:58-86``)
+    — with the r2 fused single-pair path that is still 3 actions x
+    #groups.  Here every group rides one plan:
+
+    1. posexplode -> groupBy(keys, pos): per-group per-dim centroid
+       components + row counts (map-side combined — the shuffle carries
+       tasks x groups x d partial rows, never N x d);
+    2. groupBy(keys): reassemble centroid ARRAYS via
+       transform(array_sort(collect_list(struct(pos, avg)))), compute
+       the C6 centroid distance natively (HOF dot/norms);
+    3. broadcast the #groups-row centroid frame back onto the rows and
+       take one groupBy(keys) aggregate for the three mean distances
+       (C7 dispersion both sides + C8 distance-to-ref-centroid).
+
+    C9 weights (0.6/0.2/0.2) and min-sample gating are applied in the
+    final projection.  MMD (C10) is intentionally omitted here — it is
+    a sampled driver-side kernel in the reference too; use
+    :func:`embedding_drift` per pair when MMD is required.
+
+    Input is the tagged-union shape of :func:`~.grouped.tag_windows`:
+    group key columns + ``side_col`` ('ref'/'cur') + the array column.
+    """
+    base = df.where(F.col(col).isNotNull()).select(
+        *keys,
+        (F.col(side_col) == "ref").cast("int").alias("is_ref"),
+        F.col(col).alias("e"),
+    )
+    is_r = F.col("is_ref") == 1
+    x = F.col("x").cast("double")
+    cent = (
+        base.select(*keys, "is_ref", F.posexplode("e").alias("pos", "x"))
+        .groupBy(*keys, "pos")
+        .agg(
+            F.avg(F.when(is_r, x)).alias("a"),
+            F.avg(F.when(~is_r, x)).alias("b"),
+            F.count(F.when(is_r, 1)).alias("nr"),
+            F.count(F.when(~is_r, 1)).alias("nc"),
+        )
+    )
+    centv = cent.groupBy(*keys).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "a"))), lambda s: s["a"]
+        ).alias("c_ref"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "b"))), lambda s: s["b"]
+        ).alias("c_cur"),
+        F.max("nr").alias("n_ref"),
+        F.max("nc").alias("n_cur"),
+    )
+    # C6 between the two centroid arrays, natively per group
+    if metric == "cosine":
+        dot = F.aggregate(
+            F.zip_with(F.col("c_ref"), F.col("c_cur"), lambda p, q: p * q),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+        rn = F.sqrt(F.aggregate(F.col("c_ref"), F.lit(0.0), lambda a, v: a + v * v))
+        cn = F.sqrt(F.aggregate(F.col("c_cur"), F.lit(0.0), lambda a, v: a + v * v))
+        cd = F.when((rn > 0) & (cn > 0), 1.0 - dot / (rn * cn)).otherwise(F.lit(1.0))
+    else:
+        sq = F.aggregate(
+            F.zip_with(F.col("c_ref"), F.col("c_cur"), lambda p, q: (p - q) * (p - q)),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+        cd = F.sqrt(sq) / F.sqrt(F.size(F.col("c_ref")).cast("double"))
+    centv = centv.withColumn("centroid_distance", cd)
+
+    rows = base.join(F.broadcast(centv), keys)
+    out = rows.groupBy(*keys).agg(
+        F.first("n_ref").alias("n_ref"),
+        F.first("n_cur").alias("n_cur"),
+        F.first("centroid_distance").alias("centroid_distance"),
+        F.avg(F.when(is_r, _dist_to_vec_col(F.col("e"), F.col("c_ref"), metric))).alias(
+            "ref_intra"
+        ),
+        F.avg(
+            F.when(~is_r, _dist_to_vec_col(F.col("e"), F.col("c_cur"), metric))
+        ).alias("cur_intra"),
+        F.avg(
+            F.when(~is_r, _dist_to_vec_col(F.col("e"), F.col("c_ref"), metric))
+        ).alias("avg_dist_to_ref"),
+    )
+    gated = (F.col("n_ref") < min_samples) | (F.col("n_cur") < min_samples)
+    vc = F.abs(F.col("cur_intra") - F.col("ref_intra")) / F.greatest(
+        F.col("ref_intra"), F.lit(1e-10)
+    )
+    score = (
+        0.6 * F.col("centroid_distance") + 0.2 * vc + 0.2 * F.col("avg_dist_to_ref")
+    )
+    zero = lambda c: F.when(gated, F.lit(0.0)).otherwise(c).cast("double")  # noqa: E731
+    return out.select(
+        *keys,
+        F.col("n_ref").cast("bigint").alias("n_ref"),
+        F.col("n_cur").cast("bigint").alias("n_cur"),
+        zero(F.col("centroid_distance")).alias("centroid_distance"),
+        zero(vc).alias("variance_change"),
+        zero(F.col("avg_dist_to_ref")).alias("avg_dist_to_ref"),
+        zero(F.col("ref_intra")).alias("ref_intra"),
+        zero(F.col("cur_intra")).alias("cur_intra"),
+        zero(score).alias("drift_score"),
+        (~gated & (score > detector_threshold)).alias("drift_detected"),
+        gated.alias("gated"),
+    )
+
+
 def embedding_drift(
     ref: DataFrame,
     cur: DataFrame,

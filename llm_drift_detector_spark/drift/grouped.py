@@ -276,12 +276,12 @@ def grouped_distribution_drift_binned(
         lambda acc, e: acc + (F.col("v") > e).cast("int"),
     )
     pairs = F.array(
-        F.struct(F.lit(0).alias("g"), js_bin.cast("int").alias("bin")),
-        F.struct(F.lit(1).alias("g"), psi_bin.cast("int").alias("bin")),
+        F.struct(F.lit(0).alias("__g"), js_bin.cast("int").alias("__bin")),
+        F.struct(F.lit(1).alias("__g"), psi_bin.cast("int").alias("__bin")),
     )
     counts = (
         joined.select(*keys, "is_ref", F.explode(pairs).alias("gb"))
-        .groupBy(*keys, F.col("gb.g").alias("g"), F.col("gb.bin").alias("bin"))
+        .groupBy(*keys, F.col("gb.__g").alias("__g"), F.col("gb.__bin").alias("__bin"))
         .agg(
             F.sum("is_ref").alias("cr"),
             F.sum(1 - F.col("is_ref")).alias("cc"),
@@ -291,10 +291,10 @@ def grouped_distribution_drift_binned(
     # --- stage 3: densify bins, native reductions per group ---------------
     spark = df.sparkSession
     bins = spark.range(nbins).select(
-        F.lit(0).alias("g"), F.col("id").cast("int").alias("bin")
+        F.lit(0).alias("__g"), F.col("id").cast("int").alias("__bin")
     ).unionAll(
         spark.range(psi_nbins).select(
-            F.lit(1).alias("g"), F.col("id").cast("int").alias("bin")
+            F.lit(1).alias("__g"), F.col("id").cast("int").alias("__bin")
         )
     )
     # carry ALL per-group stats through the bins frame so the final
@@ -308,7 +308,7 @@ def grouped_distribution_drift_binned(
     dense = (
         st.select(*keys, *st_cols)
         .join(F.broadcast(bins), how="cross")
-        .join(counts, [*keys, "g", "bin"], "left")
+        .join(counts, [*keys, "__g", "__bin"], "left")
         .fillna(0, subset=["cr", "cc"])
     )
     width = (F.col("mx") - F.col("mn")) / nbins
@@ -319,13 +319,13 @@ def grouped_distribution_drift_binned(
     # JS grid densities (g=0): count/(n*w) + eps, renormalized per side
     dens_r = F.try_divide(F.col("cr"), F.col("n_ref") * width) + F.lit(EPS)
     dens_c = F.try_divide(F.col("cc"), F.col("n_cur") * width) + F.lit(EPS)
-    grp = Window.partitionBy(*keys, "g")
+    grp = Window.partitionBy(*keys, "__g")
     p0 = F.try_divide(dens_r, F.sum(dens_r).over(grp))
     q0 = F.try_divide(dens_c, F.sum(dens_c).over(grp))
     # PSI grid probabilities (g=1)
     p1 = (F.try_divide(F.col("cr"), F.sum("cr").over(grp)) + EPS) / (1.0 + psi_nbins * EPS)
     q1 = (F.try_divide(F.col("cc"), F.sum("cc").over(grp)) + EPS) / (1.0 + psi_nbins * EPS)
-    cum = Window.partitionBy(*keys, "g").orderBy("bin").rowsBetween(
+    cum = Window.partitionBy(*keys, "__g").orderBy("__bin").rowsBetween(
         Window.unboundedPreceding, 0
     )
     fp = F.sum(p0).over(cum)
@@ -333,16 +333,16 @@ def grouped_distribution_drift_binned(
     per_bin = dense.select(
         *keys,
         *st_cols,
-        "g",
+        "__g",
         F.when(
-            (F.col("g") == 0) & (F.col("mx") > F.col("mn")),
+            (F.col("__g") == 0) & (F.col("mx") > F.col("mn")),
             0.5 * p0 * F.log(p0 / ((p0 + q0) / 2))
             + 0.5 * q0 * F.log(q0 / ((p0 + q0) / 2)),
         ).otherwise(F.lit(0.0)).alias("js_term"),
-        F.when(F.col("g") == 1, (p1 - q1) * F.log(p1 / q1))
+        F.when(F.col("__g") == 1, (p1 - q1) * F.log(p1 / q1))
         .otherwise(F.lit(0.0))
         .alias("psi_term"),
-        F.when((F.col("g") == 0) & (F.col("mx") > F.col("mn")), F.abs(fp - fq))
+        F.when((F.col("__g") == 0) & (F.col("mx") > F.col("mn")), F.abs(fp - fq))
         .otherwise(F.lit(0.0))
         .alias("ecdf_gap"),
         width.alias("width"),
@@ -392,22 +392,30 @@ def multi_feature_drift(
     cur: DataFrame,
     columns: list[str],
     exact: bool = False,
+    group_keys: list[str] | None = None,
     **kwargs,
 ) -> DataFrame:
-    """Drift for MANY feature columns in ONE job — one row per feature.
+    """Drift for MANY feature columns in ONE job — one row per feature
+    (x group when ``group_keys`` is given).
 
     The reference's detector loops features inside one detect() call
-    (``detectors/distribution.py:62-87``); the single-pair
+    (``detectors/distribution.py:62-87``) AND loops that per provider
+    (``monitoring/metrics.py:436-484``); the single-pair
     :func:`~..comparators.distribution_drift` is per-column (<=3 actions
     each).  This wrapper stacks the columns into (feature, v) rows and
-    reuses the grouped detectors with the feature NAME as the group key,
-    so N features cost the same shuffles as one.  ``exact=True`` routes
-    through the applyInPandas suite (adds p-values; per-feature data
-    must fit a worker); default is the fully-native binned path.
+    reuses the grouped detectors with the feature NAME as a group key,
+    so N features cost the same shuffles as one.  ``group_keys``
+    composes with the stack: the detector keys on
+    (*group_keys, feature), so a full per-provider-per-feature sweep is
+    STILL one job — #groups x #features grid, one pass over the data.
+    ``exact=True`` routes through the applyInPandas suite (adds
+    p-values; per-feature-per-group data must fit a worker); default is
+    the fully-native binned path.
     """
+    gk = list(group_keys or [])
     n = len(columns)
     args = ", ".join(f"'{c}', cast(`{c}` as double)" for c in columns)
     stack = f"stack({n}, {args}) AS (feature, v)"
-    tagged = tag_windows(ref.selectExpr(stack), cur.selectExpr(stack))
+    tagged = tag_windows(ref.selectExpr(*gk, stack), cur.selectExpr(*gk, stack))
     fn = grouped_distribution_drift if exact else grouped_distribution_drift_binned
-    return fn(tagged, ["feature"], "v", **kwargs)
+    return fn(tagged, [*gk, "feature"], "v", **kwargs)

@@ -25,7 +25,7 @@ hash agg combines map-side, and the vocab join is bounded by |vocab|.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 
 from ..config import LEXICAL_THRESHOLD, MIN_SAMPLES
 
@@ -129,6 +129,154 @@ def style_difference(ref_feat: dict, cur_feat: dict) -> float:
         0.4 * norm_diff(ref_feat["avg_sentence_len"], cur_feat["avg_sentence_len"])
         + 0.3 * norm_diff(ref_feat["avg_word_len"], cur_feat["avg_word_len"])
         + 0.3 * abs(ref_feat["diversity"] - cur_feat["diversity"])
+    )
+
+
+def grouped_lexical_drift(
+    df: DataFrame,
+    keys: list[str],
+    col: str = "transcript",
+    side_col: str = "side",
+    detector_threshold: float = LEXICAL_THRESHOLD,
+    min_samples: int = MIN_SAMPLES,
+) -> DataFrame:
+    """Per-group C13+C14 for ALL groups in ONE plan — no Python.
+
+    The reference loops the semantic detector per provider
+    (``detectors/__init__.py:58-86``); r2's :func:`lexical_drift` is
+    still 4 actions per pair.  Here every group shares one plan built
+    from four grouped sub-aggregates, each bounded by |vocab| or
+    #groups after its map-side combine:
+
+    - token counts per (keys, token) with per-side sums -> per-group
+      jaccard + the reference's inside-the-log JS (side-total
+      normalized, ``semantic.py:396-407``), disjoint-vocab bare-jaccard
+      rule included;
+    - per-group per-side style aggregates (avg sentence len from the
+      '.'-split explode; avg word len / token count / distinct tokens
+      from the token explode) -> C14 normalized deltas;
+    - per-group doc counts for the min-sample gate.
+
+    Shuffles: token hash-agg + sentence hash-agg + doc-count agg (all
+    keyed on the group keys, map-side combined) and #groups-row joins.
+    Input is the :func:`~.grouped.tag_windows` tagged-union shape.
+    Output: one row per group with vocab/style/lexical scores.
+    """
+    base = df.where(F.col(col).isNotNull()).select(
+        *keys,
+        (F.col(side_col) == "ref").cast("int").alias("r"),
+        F.col(col).alias("t"),
+    )
+    is_r = F.col("r") == 1
+
+    docs_n = base.groupBy(*keys).agg(
+        F.sum("r").cast("bigint").alias("n_ref"),
+        F.sum(1 - F.col("r")).cast("bigint").alias("n_cur"),
+    )
+
+    toks = base.select(
+        *keys, "r", F.explode(F.split(F.lower(F.col("t")), r"\s+")).alias("token")
+    ).where(F.col("token") != "")
+    tc = toks.groupBy(*keys, "token").agg(
+        F.sum("r").alias("cr"), F.sum(1 - F.col("r")).alias("cc")
+    )
+    both = (F.col("cr") > 0) & (F.col("cc") > 0)
+    # side token totals as per-group window sums (vocab-sized frame)
+    from pyspark.sql import Window
+
+    gw = Window.partitionBy(*keys)
+    tcw = tc.withColumn("rt", F.sum("cr").over(gw)).withColumn(
+        "ct", F.sum("cc").over(gw)
+    )
+    p = F.col("cr").cast("double") / F.col("rt")
+    q = F.col("cc").cast("double") / F.col("ct")
+    m = (p + q) / 2
+    vocab = (
+        tcw.groupBy(*keys)
+        .agg(
+            F.count("*").alias("union_n"),
+            F.sum(both.cast("bigint")).alias("inter_n"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        both,
+                        0.5 * p * F.log(p / m + 1e-10) + 0.5 * q * F.log(q / m + 1e-10),
+                    )
+                ),
+                F.lit(0.0),
+            ).alias("js"),
+            F.sum((F.col("cr") > 0).cast("bigint")).alias("ref_vocab"),
+            F.sum((F.col("cc") > 0).cast("bigint")).alias("cur_vocab"),
+        )
+        .select(
+            *keys,
+            (1.0 - F.col("inter_n") / F.greatest(F.col("union_n"), F.lit(1))).alias(
+                "jaccard"
+            ),
+            F.col("js").cast("double").alias("js"),
+            "inter_n",
+            "ref_vocab",
+            "cur_vocab",
+        )
+        .withColumn(
+            "vocab_diff",
+            F.when(F.col("inter_n") == 0, F.col("jaccard"))
+            .otherwise(0.5 * F.col("jaccard") + 0.5 * F.least(F.col("js"), F.lit(1.0)))
+            .cast("double"),
+        )
+    )
+
+    tok_stats = toks.groupBy(*keys).agg(
+        F.avg(F.when(is_r, F.length("token"))).alias("awl_r"),
+        F.avg(F.when(~is_r, F.length("token"))).alias("awl_c"),
+        F.count(F.when(is_r, 1)).alias("tc_r"),
+        F.count(F.when(~is_r, 1)).alias("tc_c"),
+        F.count_distinct(F.when(is_r, F.col("token"))).alias("ut_r"),
+        F.count_distinct(F.when(~is_r, F.col("token"))).alias("ut_c"),
+    )
+
+    sents = base.select(
+        *keys, "r", F.explode(F.split(F.col("t"), r"\.")).alias("s")
+    ).where(F.trim("s") != "")
+    wc = F.size(F.filter(F.split(F.col("s"), r"\s+"), lambda x: x != ""))
+    sent_stats = sents.groupBy(*keys).agg(
+        F.avg(F.when(is_r, wc)).alias("asl_r"),
+        F.avg(F.when(~is_r, wc)).alias("asl_c"),
+    )
+
+    j = (
+        docs_n.join(vocab, keys, "left")
+        .join(tok_stats, keys, "left")
+        .join(sent_stats, keys, "left")
+    )
+
+    def norm_diff(a: Column, b: Column) -> Column:
+        av, bv = F.coalesce(a, F.lit(0.0)), F.coalesce(b, F.lit(0.0))
+        mx = F.greatest(av, bv)
+        return F.when(mx > 0, F.abs(av - bv) / mx).otherwise(F.lit(0.0))
+
+    div_r = F.try_divide(F.col("ut_r"), F.greatest(F.col("tc_r"), F.lit(1)))
+    div_c = F.try_divide(F.col("ut_c"), F.greatest(F.col("tc_c"), F.lit(1)))
+    style = (
+        0.4 * norm_diff(F.col("asl_r"), F.col("asl_c"))
+        + 0.3 * norm_diff(F.col("awl_r"), F.col("awl_c"))
+        + 0.3 * F.abs(F.coalesce(div_r, F.lit(0.0)) - F.coalesce(div_c, F.lit(0.0)))
+    )
+    gated = (F.col("n_ref") < min_samples) | (F.col("n_cur") < min_samples)
+    vd = F.coalesce(F.col("vocab_diff"), F.lit(0.0))
+    score = 0.6 * vd + 0.4 * style
+    zero = lambda c: F.when(gated, F.lit(0.0)).otherwise(c).cast("double")  # noqa: E731
+    return j.select(
+        *keys,
+        "n_ref",
+        "n_cur",
+        zero(F.coalesce(F.col("jaccard"), F.lit(0.0))).alias("jaccard"),
+        zero(F.coalesce(F.col("js"), F.lit(0.0))).alias("js"),
+        zero(vd).alias("vocab_diff"),
+        zero(style).alias("style_diff"),
+        zero(score).alias("lexical_score"),
+        (~gated & (score > detector_threshold)).alias("drift_detected"),
+        gated.alias("gated"),
     )
 
 

@@ -138,3 +138,152 @@ def test_multi_feature_drift_matches_per_column(spark):
     ex = {r.feature: r for r in multi_feature_drift(ref, cur, ["x", "y"], exact=True).collect()}
     assert ex["x"].ks_p < 0.05 and ex["x"].drift_detected  # mean shift on x
     assert ex["y"].ks_p > 0.05
+
+
+def test_grouped_embedding_drift_matches_single_pair(spark):
+    """Every group's row in the one-job grouped embedding detector must
+    equal the fused single-pair detector run on that group's windows
+    (use_mmd=False — grouped omits the sampled C10 kernel)."""
+    from llm_drift_detector_spark.drift import embedding_drift, grouped_embedding_drift
+
+    rng = np.random.default_rng(7)
+    # non-zero-mean clouds: centroid cosine is direction-stable for the
+    # null group and flips sign for the shifted one
+    egroups = {
+        "null": (rng.normal(5, 1, (120, 8)), rng.normal(5, 1, (110, 8))),
+        "shift": (rng.normal(5, 1, (130, 8)), rng.normal(-5, 1, (90, 8))),
+        "tiny": (rng.normal(5, 1, (3, 8)), rng.normal(5, 1, (80, 8))),
+    }
+    rows = []
+    for g, (r, c) in egroups.items():
+        rows += [(g, "ref", x.tolist()) for x in r]
+        rows += [(g, "cur", x.tolist()) for x in c]
+    tagged = spark.createDataFrame(
+        rows, "grp string, side string, embedding array<double>"
+    )
+    got = {
+        r.grp: r for r in grouped_embedding_drift(tagged, ["grp"], "embedding").collect()
+    }
+    assert set(got) == set(egroups)
+    for g in ("null", "shift"):
+        r, c = egroups[g]
+        ra = spark.createDataFrame([(x.tolist(),) for x in r], "embedding array<double>")
+        rb = spark.createDataFrame([(x.tolist(),) for x in c], "embedding array<double>")
+        exp = embedding_drift(ra, rb, use_mmd=False)
+        a = exp["analysis"]
+        assert got[g].n_ref == exp["reference_size"] and got[g].n_cur == exp["current_size"]
+        assert got[g].centroid_distance == pytest.approx(a["centroid_distance"], abs=1e-9)
+        assert got[g].variance_change == pytest.approx(a["variance_change"], abs=1e-9)
+        assert got[g].avg_dist_to_ref == pytest.approx(
+            a["avg_distance_to_reference"], abs=1e-9
+        )
+        assert got[g].drift_score == pytest.approx(exp["drift_score"], abs=1e-9)
+        assert got[g].drift_detected == exp["drift_detected"]
+    assert got["shift"].drift_detected and not got["null"].drift_detected
+    assert got["tiny"].gated and got["tiny"].drift_score == 0.0
+
+
+def test_grouped_embedding_drift_is_fully_native(spark):
+    from llm_drift_detector_spark.drift import grouped_embedding_drift
+
+    rng = np.random.default_rng(3)
+    rows = [("g", "ref", rng.normal(0, 1, 4).tolist()) for _ in range(5)]
+    tagged = spark.createDataFrame(
+        rows, "grp string, side string, embedding array<double>"
+    )
+    plan = grouped_embedding_drift(
+        tagged, ["grp"], "embedding"
+    )._jdf.queryExecution().executedPlan().toString()
+    for bad in ("EvalPython", "InPandas", "MapInArrow"):
+        assert bad not in plan, f"{bad} found in native-only plan"
+    assert "BroadcastHashJoin" in plan  # centroid frame broadcasts back
+
+
+def test_grouped_lexical_drift_matches_single_pair(spark):
+    from llm_drift_detector_spark.drift import grouped_lexical_drift, lexical_drift
+
+    lgroups = {
+        "same": (
+            ["the cat sat on the mat. a dog barked."] * 6,
+            ["the cat sat on the mat. a dog barked."] * 5,
+        ),
+        "drifted": (
+            ["alpha beta gamma delta. epsilon zeta eta."] * 6,
+            ["one two three four. five six seven eight nine ten eleven."] * 7,
+        ),
+        "tiny": (["hello world."], ["hello there."] * 4),
+    }
+    rows = []
+    for g, (r, c) in lgroups.items():
+        rows += [(g, "ref", t) for t in r]
+        rows += [(g, "cur", t) for t in c]
+    tagged = spark.createDataFrame(rows, "grp string, side string, transcript string")
+    got = {
+        r.grp: r
+        for r in grouped_lexical_drift(
+            tagged, ["grp"], "transcript", min_samples=2
+        ).collect()
+    }
+    assert set(got) == set(lgroups)
+    for g in ("same", "drifted"):
+        r, c = lgroups[g]
+        ra = spark.createDataFrame([(t,) for t in r], "transcript string")
+        rb = spark.createDataFrame([(t,) for t in c], "transcript string")
+        exp = lexical_drift(ra, rb, "transcript", min_samples=2)
+        a = exp["analysis"]
+        assert got[g].vocab_diff == pytest.approx(a["vocabulary_difference"], abs=1e-9)
+        assert got[g].style_diff == pytest.approx(a["style_difference"], abs=1e-9)
+        assert got[g].jaccard == pytest.approx(a["jaccard"], abs=1e-9)
+        assert got[g].js == pytest.approx(a["js"], abs=1e-9)
+        assert got[g].lexical_score == pytest.approx(exp["drift_score"], abs=1e-9)
+        assert got[g].drift_detected == exp["drift_detected"]
+    assert got["drifted"].drift_detected and not got["same"].drift_detected
+    assert got["tiny"].gated and got["tiny"].lexical_score == 0.0
+
+
+def test_grouped_lexical_drift_is_fully_native(spark):
+    from llm_drift_detector_spark.drift import grouped_lexical_drift
+
+    tagged = spark.createDataFrame(
+        [("g", "ref", "a b."), ("g", "cur", "a c.")],
+        "grp string, side string, transcript string",
+    )
+    plan = grouped_lexical_drift(
+        tagged, ["grp"], "transcript"
+    )._jdf.queryExecution().executedPlan().toString()
+    for bad in ("EvalPython", "InPandas", "MapInArrow"):
+        assert bad not in plan, f"{bad} found in native-only plan"
+
+
+def test_multi_feature_drift_composite_group_keys(spark):
+    """(group x feature) composite sweep in ONE job must equal the
+    per-slice frame builders on every (group, feature) cell."""
+    from llm_drift_detector_spark.drift import multi_feature_drift
+
+    rng = np.random.default_rng(31)
+    def mk(shifted):
+        rows = []
+        for g in ("p", "q"):
+            mu = 8.0 if (shifted and g == "q") else 5.0
+            for a, b in zip(rng.normal(mu, 1, 150), rng.exponential(2, 150)):
+                rows.append((g, float(a), float(b)))
+        return spark.createDataFrame(rows, "g string, x double, y double")
+
+    ref, cur = mk(False), mk(True)
+    got = {
+        (r.g, r.feature): r
+        for r in multi_feature_drift(
+            ref, cur, ["x", "y"], group_keys=["g"], nbins=40, exact_edges=True
+        ).collect()
+    }
+    assert set(got) == {("p", "x"), ("p", "y"), ("q", "x"), ("q", "y")}
+    for g in ("p", "q"):
+        for col in ("x", "y"):
+            ra = ref.where(ref.g == g).select(col)
+            rb = cur.where(cur.g == g).select(col)
+            js = js_psi_frame(ra, rb, col, nbins=40).collect()[0].js
+            assert got[(g, col)].js == pytest.approx(js, abs=1e-9), (g, col)
+            psi = psi_frame(ra, rb, col, nbins=10).collect()[0].psi
+            assert got[(g, col)].psi == pytest.approx(psi, abs=1e-9), (g, col)
+    # only the (q, x) cell was shifted
+    assert got[("q", "x")].js > got[("p", "x")].js
