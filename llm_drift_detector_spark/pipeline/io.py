@@ -83,8 +83,9 @@ def merge_upsert(
     append.  The fallback is idempotent but not atomic across concurrent
     writers; Iceberg's snapshot commit is, which is why the catalog is
     the mandated target at scale."""
-    import os
-
+    # duplicate keys WITHIN the batch would be inserted twice by both
+    # paths (MERGE only guards against target matches) — collapse first
+    df = df.dropDuplicates(keys)
     if spec.startswith("table:"):
         name = spec[len("table:"):]
         df.createOrReplaceTempView("_merge_src")
@@ -95,8 +96,14 @@ def merge_upsert(
         )
         spark.catalog.dropTempView("_merge_src")
         return
-    if os.path.exists(spec):
+    # target-existence probe via the engine, not os.path: os.path.exists is
+    # always False for s3://, hdfs:// etc., which silently skipped the
+    # anti-join and duplicated rows on re-run for non-local targets
+    try:
         existing = spark.read.parquet(spec).select(*keys).distinct()
+    except Exception:
+        existing = None  # no target yet (AnalysisException: PATH_NOT_FOUND)
+    if existing is not None:
         df = df.join(existing, keys, "left_anti")
     df.write.mode("append").parquet(spec)
 

@@ -237,6 +237,34 @@ def run_validation(
             return F.col("bucket_id").isin(buckets)
         return bucket_id("clip_id", cfg.n_buckets).isin(buckets)
 
+    def _validate_bucket_layout(df: DataFrame, name: str) -> None:
+        # a layout written with a different n_buckets (or hash/salt) than
+        # cfg would silently leave buckets >= cfg.n_buckets unselected by
+        # every group — rows never validated yet checkpointed complete.
+        # Recompute the expected bucket for a 100-row sample and fail
+        # loudly on any mismatch (one tiny action per run; a wrong modulus
+        # disagrees on ~half the rows, so P(miss) ~ 2^-100).
+        sample = (
+            df.select(
+                "bucket_id", bucket_id("clip_id", cfg.n_buckets).alias("expect")
+            )
+            .limit(100)
+            .collect()
+        )
+        bad = [r for r in sample if int(r.bucket_id) != int(r.expect)]
+        if bad:
+            raise ValueError(
+                f"{name}: materialized bucket_id does not match "
+                f"bucket_id(clip_id, {cfg.n_buckets}) on {len(bad)}/"
+                f"{len(sample)} sampled rows (e.g. stored={bad[0].bucket_id} "
+                f"expected={bad[0].expect}) — the layout was written with a "
+                "different n_buckets or hash; re-bucket or fix cfg.n_buckets"
+            )
+
+    for df, name in ((clips, "clips"), (transcripts, "transcripts"), (reference, "reference")):
+        if "bucket_id" in df.columns:
+            _validate_bucket_layout(df, name)
+
     executed_groups = []
     executed_buckets: set[int] = set()
     for g, buckets in sorted(groups.items()):
@@ -300,9 +328,18 @@ def run_validation(
     # ONLY when this call completes the run AND they were not already
     # written — a resume over finished buckets or a max_groups partial run
     # must not pay a full re-scan for metrics it doesn't need yet
-    metrics_path = os.path.join(cfg.out_dir, "metrics")
+    # per-run_id subdir gated on Spark's _SUCCESS commit marker: a driver
+    # crash mid-overwrite leaves the dir WITHOUT _SUCCESS, so the next
+    # resume recomputes instead of permanently skipping; and a second
+    # run_id sharing this out_dir (which checkpoints support) gets its own
+    # metrics rather than being shadowed by the first run's directory.
+    # `run=` (not `run_id=`) so partition discovery over metrics/ does not
+    # collide with the run_id data column.
+    metrics_path = os.path.join(cfg.out_dir, "metrics", f"run={cfg.run_id}")
     still_pending = set(pending) - executed_buckets
-    compute_metrics = not still_pending and not os.path.exists(metrics_path)
+    compute_metrics = not still_pending and not os.path.exists(
+        os.path.join(metrics_path, "_SUCCESS")
+    )
     metrics_rows = []
     prof = (
         profile(clips, ["sr_hz", "dur_ms"], cfg.mode).collect() if compute_metrics else []

@@ -57,6 +57,12 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         # 128 MiB scan splits: good parallelism without tiny-task overhead.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Keep In(clip_id, ...) filters pushed as real dictionary/set
+        # predicates up to the audio targeted-fetch cap: past this
+        # threshold Parquet pushdown degrades the In list to a min/max
+        # RANGE predicate and row-group pruning mostly evaporates
+        # (default is 10 — see checks/audio.py targeted fetch).
+        .config("spark.sql.parquet.pushdown.inFilterThreshold", "5000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -7,8 +7,9 @@ against the accumulated history — the streaming analogue of the
 reference's rolling z-score scan (C16) with state that survives across
 triggers instead of a window buffer.
 
-Works identically on a batch DataFrame for testing (Spark runs the same
-code path with a single "batch" of state).
+``applyInPandasWithState`` only executes on streaming frames (Spark 4
+raises UnsupportedOperation on batch input) — tests drive it with
+one-trigger ``availableNow`` streams.
 """
 
 from __future__ import annotations
@@ -73,10 +74,75 @@ def _update(
     )
 
 
+DUP_STATE_SCHEMA = "seen array<bigint>"
+DUP_OUTPUT_SCHEMA = "clip_id string"
+
+
+def _dup_update(
+    key: Tuple[int],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    seen = set(state.get[0]) if state.exists else set()
+    flagged: list[str] = []
+    for pdf in pdfs:
+        for cid, h in zip(pdf["clip_id"], pdf["h"]):
+            h = int(h)
+            if h in seen:
+                flagged.append(cid)
+            else:
+                seen.add(h)
+    state.update((list(seen),))
+    if flagged:
+        yield pd.DataFrame({"clip_id": flagged})
+
+
+def streaming_duplicate_clips(
+    df: DataFrame, key_col: str = "clip_id", n_state_buckets: int = 512
+) -> DataFrame:
+    """GLOBAL uniqueness in continuous mode: flag every re-occurrence of
+    a key across ALL micro-batches, exactly once per extra occurrence.
+
+    The batch runner's A11 uniqueness (``checks/uniqueness.py``) is a
+    full-table groupBy; foreachBatch streaming can only see one batch
+    (the documented batch-local gap).  This closes it with
+    ``applyInPandasWithState`` keyed on a HASH BUCKET of the key — not
+    the key itself — so state shards into ``n_state_buckets`` groups
+    (co-grouped rows per trigger, bounded state-store key count) rather
+    than one state entry per distinct clip_id.  Per-bucket state is the
+    set of xxhash64(key) values seen (8 B/id; false-positive rate 2^-64
+    per pair).  At 10^12 ids exact state is ~8 TB across the cluster —
+    the documented evolution is a per-bucket Bloom filter in the same
+    state slot (drop `seen` to a byte array; the update kernel is the
+    only code that changes).
+
+    First occurrence of a key is NOT emitted; the 2nd, 3rd, ... each
+    emit one (clip_id) row in the trigger where they arrive — a
+    duplicate split across micro-batches is flagged exactly once.
+    """
+    import pyspark.sql.functions as F
+
+    prepared = df.select(
+        F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_state_buckets))
+        .cast("int")
+        .alias("bucket"),
+        F.col(key_col).cast("string").alias("clip_id"),
+        F.xxhash64(F.col(key_col)).alias("h"),
+    )
+    return prepared.groupBy("bucket").applyInPandasWithState(
+        _dup_update,
+        outputStructType=DUP_OUTPUT_SCHEMA,
+        stateStructType=DUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def running_drift_state(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
     """Apply the stateful drift accumulator.  `df` may be a streaming
     frame (state persists across micro-batches via the streaming
-    checkpoint) or a batch frame (single update, for tests)."""
+    checkpoint); must be a streaming frame (batch input raises
+    UnsupportedOperation in Spark 4)."""
     import pyspark.sql.functions as F
 
     prepared = df.select(

@@ -226,7 +226,8 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         sym.select(F.col("id_a").alias("id")).distinct().withColumn("label", F.col("id"))
     ).persist()
     labels.count()
-    for _ in range(max_iters):
+    changed = 0
+    for it in range(max_iters):
         nbr_min = (
             sym.join(
                 labels.select(F.col("id").alias("id_b"), F.col("label").alias("nbr")),
@@ -249,10 +250,22 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             .count()
         )
         labels.unpersist()
-        labels = new
+        # truncate lineage every few rounds: each iteration stacks a
+        # join onto the logical plan; on a high-diameter component the
+        # un-checkpointed plan gets arbitrarily deep (analysis cost +
+        # stack risk at 10^12-edge scale)
+        labels = new.localCheckpoint(eager=True) if (it + 1) % 5 == 0 else new
         if changed == 0:
             break
     sym.unpersist()
+    if changed > 0:
+        # a component with diameter > max_iters has NOT converged —
+        # returning silently would hand back wrong (split) clusters
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_iters} iterations "
+            f"({changed} labels still changing) — raise max_iters (diameter "
+            "of the candidate graph exceeds it)"
+        )
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 

@@ -243,3 +243,76 @@ def test_config_driven_check_selection(spark, tables, tmp_path):
         enabled_checks=("sr_hz_domain",), disabled_checks=("sr_hz_domain",),
     )
     assert violations_frame(*args, cfg3).count() == 0
+
+
+def test_crashed_metrics_write_recomputes_on_resume(spark, tables, tmp_path):
+    """ADVICE r2: a driver crash mid metrics-overwrite leaves the dir
+    without _SUCCESS — the next resume must recompute, not permanently
+    skip (the old bare os.path.exists gate did the latter)."""
+    import os
+
+    cfg = RunConfig(run_id="crashmg", out_dir=str(tmp_path / "cm"))
+    s1 = run_validation(
+        spark, tables["clips"], tables["transcripts"], tables["reference"], cfg
+    )
+    assert s1["global_metrics_computed"]
+    os.remove(f"{cfg.out_dir}/metrics/run=crashmg/_SUCCESS")
+    s2 = run_validation(
+        spark, tables["clips"], tables["transcripts"], tables["reference"], cfg
+    )
+    assert s2["executed_groups"] == []
+    assert s2["global_metrics_computed"]  # recomputed after the 'crash'
+
+
+def test_second_run_id_in_shared_out_dir_gets_metrics(spark, tables, tmp_path):
+    """ADVICE r2: checkpoints support several run_ids per out_dir — each
+    must get its own metrics (the old dir-level gate shadowed run 2)."""
+    out = str(tmp_path / "shared")
+    args = (tables["clips"], tables["transcripts"], tables["reference"])
+    s1 = run_validation(spark, *args, RunConfig(run_id="ra", out_dir=out))
+    s2 = run_validation(spark, *args, RunConfig(run_id="rb", out_dir=out))
+    assert s1["global_metrics_computed"] and s2["global_metrics_computed"]
+    m = spark.read.parquet(f"{out}/metrics")
+    assert {r.run for r in m.select("run").distinct().collect()} == {"ra", "rb"}
+
+
+def test_mismatched_bucket_layout_fails_loudly(spark, tables, tmp_path):
+    """ADVICE r2: a layout bucketed with a different n_buckets than cfg
+    must raise — silently never-validating buckets >= cfg.n_buckets
+    while checkpointing 'complete' is the worst failure mode."""
+    from llm_drift_detector_spark.pipeline.io import write_bucket_partitioned
+
+    path = str(tmp_path / "bk64")
+    write_bucket_partitioned(tables["clips"], path, n_buckets=64)
+    clips_b = spark.read.parquet(path)
+    cfg = RunConfig(run_id="badbk", out_dir=str(tmp_path / "bo"), n_buckets=32)
+    with pytest.raises(ValueError, match="different n_buckets"):
+        run_validation(spark, clips_b, tables["transcripts"], tables["reference"], cfg)
+
+
+def test_merge_upsert_collapses_batch_duplicates(spark, tmp_path):
+    """ADVICE r2: duplicate key tuples WITHIN one batch must land once
+    (both the MERGE and the parquet fallback would insert them twice)."""
+    from llm_drift_detector_spark.pipeline.io import merge_upsert
+
+    path = str(tmp_path / "mu")
+    df = spark.createDataFrame([(1, "a"), (1, "a2"), (2, "b")], "k int, v string")
+    merge_upsert(spark, df, path, ["k"])
+    got = spark.read.parquet(path)
+    assert got.count() == 2
+    assert got.select("k").distinct().count() == 2
+
+
+def test_duplicate_clusters_raises_on_non_convergence(spark):
+    """ADVICE r2: exceeding max_iters must raise, not silently return
+    split (wrong) cluster labels."""
+    from llm_drift_detector_spark.textops import duplicate_clusters
+
+    # a chain 0-1-2-...-9 has diameter 9: hash-min needs ~9 rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], "id_a bigint, id_b bigint"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        duplicate_clusters(pairs, max_iters=2)
+    ok = duplicate_clusters(pairs, max_iters=20).collect()
+    assert {r.cluster_id for r in ok} == {0}
