@@ -245,7 +245,7 @@ def audio_invariant_violations(
     n_partitions: int | None = None,
     salt: int = 0,
     snr_mode: str = "hash_shortcut",
-    max_fetch_ids: int = 5_000,
+    max_fetch_ids: int = 1_000,
 ) -> DataFrame:
     """Violation rows (clip_id, check_name, detail) from the decode checks.
 
@@ -332,11 +332,13 @@ def audio_invariant_violations(
     # expected case), collect the ids and push an isin() literal filter
     # instead: Catalyst emits PushedFilters In(clip_id, ...) and the scan
     # prunes to the row groups containing violators.  The cap matches the
-    # session's spark.sql.parquet.pushdown.inFilterThreshold (5000): past
+    # session's spark.sql.parquet.pushdown.inFilterThreshold (1000): past
     # that threshold Parquet degrades the In list to a min/max range
-    # predicate and the pruning largely evaporates while the literal
-    # bloats plan serialization — above the cap the broadcast join is
-    # genuinely the better plan, so fall back to it.
+    # predicate (pruning largely evaporates, the literal bloats plan
+    # serialization), and a much larger pushed list is a linearly nested
+    # OR tree in parquet-mr that overflows the executor stack — above
+    # the cap the broadcast join is genuinely the better plan, so fall
+    # back to it.
     id_rows = differing_ids.limit(max_fetch_ids + 1).collect()
     if len(id_rows) <= max_fetch_ids:
         ids = [r.clip_id for r in id_rows]

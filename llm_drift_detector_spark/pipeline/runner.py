@@ -82,6 +82,12 @@ class RunConfig:
     # are CHECK_VERSIONS keys.  disabled wins over enabled.
     enabled_checks: tuple[str, ...] | None = None
     disabled_checks: tuple[str, ...] = ()
+    # per-group drift in the global metrics block: when set, each drift
+    # column additionally runs the fully-native binned grouped detector
+    # keyed on these columns (reference loops detectors per provider/
+    # model — monitoring/metrics.py:436-484; here ALL groups ride one
+    # job per column) and lands per-(group, method) metric rows.
+    drift_group_keys: tuple[str, ...] = ()
 
     def check_active(self, name: str) -> bool:
         if name in self.disabled_checks:
@@ -396,6 +402,43 @@ def run_validation(
                 "{}",
             )
         )
+    if compute_metrics and cfg.drift_group_keys:
+        from ..drift.grouped import grouped_distribution_drift_binned, tag_windows
+
+        gk = list(cfg.drift_group_keys)
+        # (method name in metrics, row field, detection threshold)
+        grouped_methods = (
+            ("ks_test", "ks_d", 0.1),
+            ("js_divergence", "js", 0.2),
+            ("psi", "psi", 0.2),
+            ("wasserstein", "wd_norm", 0.1),
+        )
+        for col in cfg.drift_columns:
+            tagged = tag_windows(
+                reference.select(*gk, col), clips.select(*gk, col)
+            )
+            per_group = grouped_distribution_drift_binned(
+                tagged, gk, col, exact_edges=cfg.mode.exact
+            ).collect()
+            for r in per_group:
+                grp = {k: r[k] for k in gk}
+                for mname, field_name, thr in grouped_methods:
+                    score = float(r[field_name] or 0.0)
+                    metrics_rows.append(
+                        (
+                            cfg.run_id,
+                            "grouped_distribution_drift",
+                            mname,
+                            col,
+                            score,
+                            thr,
+                            bool(not r["gated"] and score > thr),
+                            None,
+                            int(r["n_ref"]),
+                            int(r["n_cur"]),
+                            json.dumps({"group": grp, "gated": bool(r["gated"])}),
+                        )
+                    )
     if compute_metrics:
         metrics = spark.createDataFrame(
             metrics_rows,

@@ -57,12 +57,17 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         # 128 MiB scan splits: good parallelism without tiny-task overhead.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
-        # Keep In(clip_id, ...) filters pushed as real dictionary/set
-        # predicates up to the audio targeted-fetch cap: past this
-        # threshold Parquet pushdown degrades the In list to a min/max
-        # RANGE predicate and row-group pruning mostly evaporates
-        # (default is 10 — see checks/audio.py targeted fetch).
-        .config("spark.sql.parquet.pushdown.inFilterThreshold", "5000")
+        # Keep In(clip_id, ...) filters pushed as real set predicates up
+        # to the audio targeted-fetch cap: past this threshold Parquet
+        # pushdown degrades the In list to a min/max RANGE predicate and
+        # row-group pruning mostly evaporates (default is 10).  Do NOT
+        # raise this much further: the pushed list becomes a linearly
+        # NESTED Operators.or(...) tree in parquet-mr, and ~5000 terms
+        # overflows the executor thread stack (StackOverflowError in the
+        # scan — observed at sf0.1).  checks/audio.py caps its id list
+        # at the same value and falls back to a broadcast join above it,
+        # which is genuinely the better plan for big id sets.
+        .config("spark.sql.parquet.pushdown.inFilterThreshold", "1000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -343,3 +343,33 @@ def test_merge_sql_parses_and_analyzes(spark, tmp_path):
     assert "UNSUPPORTED_FEATURE.TABLE_OPERATION" in msg and "MERGE INTO" in msg
     assert "PARSE_SYNTAX_ERROR" not in msg and "UNRESOLVED" not in msg.upper()
     spark.sql("DROP TABLE IF EXISTS _merge_probe")
+
+
+def test_grouped_drift_lands_in_metrics(spark, tables, tmp_path):
+    """drift_group_keys wires the one-job grouped detector into the
+    global metrics block: per-(group, method) rows with group identity
+    in details (reference loops detectors per provider — here all
+    groups ride one job per drift column)."""
+    import json as _json
+
+    cfg = RunConfig(
+        run_id="gm", out_dir=str(tmp_path / "gm"), drift_group_keys=("codec",)
+    )
+    run_validation(
+        spark, tables["clips"], tables["transcripts"], tables["reference"], cfg
+    )
+    m = (
+        spark.read.parquet(f"{cfg.out_dir}/metrics")
+        .where("detector_name = 'grouped_distribution_drift'")
+        .collect()
+    )
+    assert m, "no grouped drift rows in metrics"
+    methods = {r.metric_name for r in m}
+    assert methods == {"ks_test", "js_divergence", "psi", "wasserstein"}
+    codecs = {_json.loads(r.details)["group"]["codec"] for r in m}
+    assert len(codecs) >= 2
+    # clips vs the clean reference: same dur_ms distribution per codec —
+    # JS/PSI must not trip on any group
+    for r in m:
+        if r.metric_name in ("js_divergence", "psi"):
+            assert not r.drift_detected, (r.metric_name, r.details)
