@@ -47,6 +47,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--sketch", action="store_true", help="(default; kept for compat)")
     p.add_argument("--snr-mode", default="hash_shortcut", choices=("hash_shortcut", "deep"))
     p.add_argument("--drift-columns", default="dur_ms")
+    p.add_argument(
+        "--drift-group-keys",
+        default="",
+        help="comma list of key columns; when set, per-group drift "
+        "(all groups, one job per column) lands in the metrics table",
+    )
     p.add_argument("--enable-checks", default="", help="comma list; empty = all")
     p.add_argument("--disable-checks", default="", help="comma list; wins over enable")
     args = p.parse_args(argv)
@@ -69,6 +75,7 @@ def main(argv: list[str] | None = None) -> int:
         snr_mode=args.snr_mode,
         enabled_checks=tuple(c for c in args.enable_checks.split(",") if c) or None,
         disabled_checks=tuple(c for c in args.disable_checks.split(",") if c),
+        drift_group_keys=tuple(c for c in args.drift_group_keys.split(",") if c),
     )
     summary = run_validation(
         spark,

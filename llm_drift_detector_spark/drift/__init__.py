@@ -22,6 +22,7 @@ from .embedding import (  # noqa: F401
     centroid_cosine_frame,
     embedding_drift,
     grouped_embedding_drift,
+    grouped_embedding_drift_exact,
     mean_dist_frame,
     mmd_cosine,
 )
@@ -34,6 +35,7 @@ from .lexical import (  # noqa: F401
 )
 from .performance import (  # noqa: F401
     error_rate_frame,
+    grouped_performance_drift,
     performance_drift,
     rolling_zscore_anomalies,
 )

@@ -132,6 +132,119 @@ def performance_drift(
     }
 
 
+def grouped_performance_drift(
+    df: DataFrame,
+    keys: list[str],
+    metrics: list[dict],
+    error_condition: Column | None = None,
+    side_col: str = "side",
+    detector_threshold: float = 0.1,
+    min_n: int = 5,
+) -> DataFrame:
+    """C15 for ALL groups in ONE fully-native job — one row per
+    (group, metric) plus an 'overall' row per group.
+
+    The reference computes performance drift per provider in a Python
+    loop (``detectors/performance.py:55-188`` via
+    ``monitoring/metrics.py:436-484``).  Here one groupBy(keys)
+    aggregate computes every metric's two-sided stats (plus error rates
+    when ``error_condition`` is given), a single explode unpacks them
+    into per-metric rows, and the overall score is combined ACROSS
+    metric expressions inside the same aggregate row — base data is
+    scanned exactly once, shuffled once on the group keys.
+
+    Formula parity with :func:`performance_drift`: relative change with
+    the ``ref==0 -> cur*100`` error-rate rule, ``|rel|/0.5`` capped at
+    1, threshold-exceeded boost to >=0.8, n<5 per-metric gate.
+    P-values are omitted (the incomplete beta is not expressible
+    natively — same trade as the binned grouped distribution detector).
+    Input is the :func:`~.grouped.tag_windows` tagged-union shape.
+    """
+    is_r = F.col(side_col) == "ref"
+    names = [m["name"] for m in metrics if m["name"] != "error_rate"]
+    aggs = []
+    for name in names:
+        c = F.col(name).cast("double")
+        aggs += [
+            F.count(F.when(is_r, c)).alias(f"{name}__nr"),
+            F.count(F.when(~is_r, c)).alias(f"{name}__nc"),
+            F.avg(F.when(is_r, c)).alias(f"{name}__mr"),
+            F.avg(F.when(~is_r, c)).alias(f"{name}__mc"),
+        ]
+    if error_condition is not None:
+        e = error_condition.cast("double")
+        aggs += [
+            F.coalesce(F.avg(F.when(is_r, e)), F.lit(0.0)).alias("__er_r"),
+            F.coalesce(F.avg(F.when(~is_r, e)), F.lit(0.0)).alias("__er_c"),
+        ]
+    st = df.groupBy(*keys).agg(*aggs)
+
+    structs = []
+    drift_terms: list[Column] = []
+    gate_terms: list[Column] = []
+    for mc in metrics:
+        name = mc["name"]
+        upper, lower = mc.get("upper_threshold"), mc.get("lower_threshold")
+        if name == "error_rate":
+            if error_condition is None:
+                continue
+            r, c = F.col("__er_r"), F.col("__er_c")
+            rel = F.when(r > 0, F.try_divide(c - r, r)).otherwise(c * 100)
+            drift = F.least(F.greatest(rel, F.lit(0.0)) / 2.0, F.lit(1.0))
+            detected = drift > 0.5
+            if upper is not None:
+                detected = detected | (c > upper)
+            gated = F.lit(False)
+        else:
+            nr, nc = F.col(f"{name}__nr"), F.col(f"{name}__nc")
+            r = F.coalesce(F.col(f"{name}__mr"), F.lit(0.0))
+            c = F.coalesce(F.col(f"{name}__mc"), F.lit(0.0))
+            gated = (nr < min_n) | (nc < min_n)
+            rel = F.when(r > 0, F.try_divide(c - r, r)).otherwise(F.lit(0.0))
+            exceeded = F.lit(False)
+            if upper is not None:
+                exceeded = exceeded | (c > upper)
+            if lower is not None:
+                exceeded = exceeded | (c < lower)
+            base_drift = F.least(F.abs(rel) / 0.5, F.lit(1.0))
+            drift = F.when(exceeded, F.greatest(base_drift, F.lit(0.8))).otherwise(
+                base_drift
+            )
+            detected = (drift > 0.5) | exceeded
+        zero = lambda x: F.when(gated, F.lit(0.0)).otherwise(x)  # noqa: E731
+        structs.append(
+            F.struct(
+                F.lit(name).alias("metric"),
+                zero(r).cast("double").alias("ref_value"),
+                zero(c).cast("double").alias("cur_value"),
+                zero(F.coalesce(rel, F.lit(0.0))).cast("double").alias("relative_change"),
+                zero(F.coalesce(drift, F.lit(0.0))).cast("double").alias("drift_score"),
+                (~gated & F.coalesce(detected, F.lit(False))).alias("drift_detected"),
+                gated.alias("gated"),
+            )
+        )
+        drift_terms.append(F.when(~gated, F.coalesce(drift, F.lit(0.0))))
+        gate_terms.append(F.when(~gated, F.lit(1)))
+
+    overall_num = sum((F.coalesce(t, F.lit(0.0)) for t in drift_terms), F.lit(0.0))
+    overall_den = sum((F.coalesce(t, F.lit(0)) for t in gate_terms), F.lit(0))
+    overall = F.coalesce(F.try_divide(overall_num, overall_den), F.lit(0.0))
+    structs.append(
+        F.struct(
+            F.lit("overall").alias("metric"),
+            F.lit(None).cast("double").alias("ref_value"),
+            F.lit(None).cast("double").alias("cur_value"),
+            F.lit(None).cast("double").alias("relative_change"),
+            overall.cast("double").alias("drift_score"),
+            (overall > detector_threshold).alias("drift_detected"),
+            (overall_den == 0).alias("gated"),
+        )
+    )
+    return st.select(*keys, F.explode(F.array(*structs)).alias("m")).select(
+        *keys, "m.*"
+    )
+
+
 def rolling_zscore_anomalies(
     df: DataFrame,
     value_col: str,

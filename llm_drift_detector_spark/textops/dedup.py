@@ -209,14 +209,17 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     cluster_id = the minimum id in the component.
 
     Dedup consumers need components, not pairs (keep one doc per cluster).
-    Hash-min label propagation: every node starts labeled with itself;
-    each iteration every node takes the min label among itself and its
-    neighbors; stop at fixpoint.  Iterations = graph diameter — LSH
-    candidate graphs are near-cliques with band overlaps, so 2-4 rounds
-    in practice.  Each round is one join + one groupBy on (id, label)
-    pairs only (never text/payloads); labels persist per round and the
-    fixpoint check is a cheap count.  Not SQL-expressible (iterative) —
-    correctness is property-tested (chains, cliques, isolated pairs).
+    Hash-min label propagation WITH pointer doubling: every node starts
+    labeled with itself; each iteration every node takes the min label
+    among itself and its neighbors, then shortcuts to its label's label
+    (``l(x) <- l(l(x))``, the path-halving step of Kiveris et al.'s
+    star-contraction family) — convergence is O(log diameter) rounds
+    instead of O(diameter), which matters for chain-shaped near-dup
+    graphs (LSH near-cliques converge in 2-4 rounds either way).  Each
+    round is two joins + one groupBy on (id, label) pairs only (never
+    text/payloads); labels persist per round and the fixpoint check is
+    a cheap count.  Not SQL-expressible (iterative) — correctness is
+    property-tested (chains, cliques, isolated pairs).
     """
     edges = pairs.select("id_a", "id_b")
     sym = edges.unionAll(
@@ -236,11 +239,20 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             .groupBy(F.col("id_a").alias("id"))
             .agg(F.min("nbr").alias("nbr_min"))
         )
+        stepped = labels.join(nbr_min, "id", "left").select(
+            "id",
+            F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
+        )
+        # pointer doubling: follow one more hop through the label table
+        # so label chains halve every round (O(log d) total rounds)
+        hop = stepped.select(
+            F.col("id").alias("label"), F.col("label").alias("ll")
+        )
         new = (
-            labels.join(nbr_min, "id", "left")
+            stepped.join(hop, "label", "left")
             .select(
                 "id",
-                F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
+                F.least(F.col("label"), F.coalesce("ll", "label")).alias("label"),
             )
             .persist()
         )

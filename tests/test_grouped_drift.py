@@ -287,3 +287,122 @@ def test_multi_feature_drift_composite_group_keys(spark):
             assert got[(g, col)].psi == pytest.approx(psi, abs=1e-9), (g, col)
     # only the (q, x) cell was shifted
     assert got[("q", "x")].js > got[("p", "x")].js
+
+
+def test_grouped_performance_drift_matches_single_pair(spark):
+    """Every (group, metric) row of the one-job C15 sweep must equal
+    performance_drift on that group's windows; the overall row matches
+    the averaged score."""
+    from llm_drift_detector_spark.drift import (
+        grouped_performance_drift,
+        performance_drift,
+    )
+    import pyspark.sql.functions as F
+
+    rng = np.random.default_rng(13)
+    rows = []
+    for g, (mu_r, mu_c, err_r, err_c) in {
+        "steady": (10.0, 10.2, 0.05, 0.05),
+        "degraded": (10.0, 22.0, 0.02, 0.30),
+        "tiny": (10.0, 10.0, 0.0, 0.0),
+    }.items():
+        n_r, n_c = (3, 3) if g == "tiny" else (200, 180)
+        for v in rng.normal(mu_r, 1, n_r):
+            rows.append((g, "ref", float(v), bool(rng.random() < err_r)))
+        for v in rng.normal(mu_c, 1, n_c):
+            rows.append((g, "cur", float(v), bool(rng.random() < err_c)))
+    tagged = spark.createDataFrame(
+        rows, "grp string, side string, latency double, is_err boolean"
+    )
+    metrics = [
+        {"name": "latency", "upper_threshold": 20.0},
+        {"name": "error_rate", "upper_threshold": 0.1},
+    ]
+    got = {
+        (r.grp, r.metric): r
+        for r in grouped_performance_drift(
+            tagged, ["grp"], metrics, error_condition=F.col("is_err")
+        ).collect()
+    }
+    for g in ("steady", "degraded"):
+        sub = tagged.where(F.col("grp") == g)
+        exp = performance_drift(
+            sub.where("side = 'ref'"),
+            sub.where("side = 'cur'"),
+            metrics,
+            error_condition=F.col("is_err"),
+        )
+        for name in ("latency", "error_rate"):
+            em = exp["metrics"][name]
+            gm = got[(g, name)]
+            assert gm.drift_score == pytest.approx(em["drift_score"], abs=1e-9), (g, name)
+            assert gm.relative_change == pytest.approx(em["relative_change"], abs=1e-9)
+            assert gm.drift_detected == em["drift_detected"]
+        assert got[(g, "overall")].drift_score == pytest.approx(
+            exp["drift_score"], abs=1e-9
+        )
+        assert got[(g, "overall")].drift_detected == exp["drift_detected"]
+    assert got[("degraded", "overall")].drift_detected
+    # 'steady' tracks the single-pair verdict exactly (asserted above);
+    # ordering is the robust expectation (error-rate sampling noise can
+    # push a small overall score past the 0.1 default threshold)
+    assert (
+        got[("steady", "overall")].drift_score
+        < got[("degraded", "overall")].drift_score
+    )
+    assert not got[("steady", "latency")].drift_detected
+    # n<5 gate on the value metric; error_rate has no gate (as reference)
+    assert got[("tiny", "latency")].gated and got[("tiny", "latency")].drift_score == 0.0
+    assert not got[("tiny", "error_rate")].gated
+
+
+def test_grouped_performance_drift_is_fully_native(spark):
+    from llm_drift_detector_spark.drift import grouped_performance_drift
+    import pyspark.sql.functions as F
+
+    tagged = spark.createDataFrame(
+        [("g", "ref", 1.0, False), ("g", "cur", 2.0, True)],
+        "grp string, side string, latency double, is_err boolean",
+    )
+    plan = grouped_performance_drift(
+        tagged, ["grp"], [{"name": "latency"}], error_condition=F.col("is_err")
+    )._jdf.queryExecution().executedPlan().toString()
+    for bad in ("EvalPython", "InPandas", "MapInArrow"):
+        assert bad not in plan, f"{bad} found in native-only plan"
+
+
+def test_grouped_embedding_exact_matches_fused_with_mmd(spark):
+    """The applyInPandas tier (adds MMD) must equal the fused single-
+    pair detector exactly when sides are under the MMD cap (full set ==
+    sample on both paths)."""
+    from llm_drift_detector_spark.drift import (
+        embedding_drift,
+        grouped_embedding_drift_exact,
+    )
+
+    rng = np.random.default_rng(17)
+    egroups = {
+        "null": (rng.normal(5, 1, (80, 6)), rng.normal(5, 1, (70, 6))),
+        "shift": (rng.normal(5, 1, (90, 6)), rng.normal(-5, 1, (60, 6))),
+    }
+    rows = []
+    for g, (r, c) in egroups.items():
+        rows += [(g, "ref", x.tolist()) for x in r]
+        rows += [(g, "cur", x.tolist()) for x in c]
+    tagged = spark.createDataFrame(
+        rows, "grp string, side string, embedding array<double>"
+    )
+    got = {
+        r.grp: r
+        for r in grouped_embedding_drift_exact(
+            tagged, ["grp"], "embedding", use_mmd=True
+        ).collect()
+    }
+    for g, (r, c) in egroups.items():
+        ra = spark.createDataFrame([(x.tolist(),) for x in r], "embedding array<double>")
+        rb = spark.createDataFrame([(x.tolist(),) for x in c], "embedding array<double>")
+        exp = embedding_drift(ra, rb, use_mmd=True)
+        assert got[g].mmd == pytest.approx(exp["analysis"]["mmd"], abs=1e-9), g
+        assert got[g].drift_score == pytest.approx(exp["drift_score"], abs=1e-9), g
+        assert got[g].drift_detected == exp["drift_detected"], g
+    assert got["shift"].drift_detected and not got["null"].drift_detected
