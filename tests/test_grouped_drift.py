@@ -406,3 +406,59 @@ def test_grouped_embedding_exact_matches_fused_with_mmd(spark):
         assert got[g].drift_score == pytest.approx(exp["drift_score"], abs=1e-9), g
         assert got[g].drift_detected == exp["drift_detected"], g
     assert got["shift"].drift_detected and not got["null"].drift_detected
+
+
+def test_grouped_binned_edge_cases(spark):
+    """Degenerate groups must not error or mis-report under ANSI mode:
+    a constant-value group (mx == mn -> zero bin width) reports zero
+    drift; a one-sided group (no 'ref' rows) gates cleanly."""
+    rows = (
+        [("const", "ref", 5.0)] * 60 + [("const", "cur", 5.0)] * 55
+        + [("onesided", "cur", float(v)) for v in range(40)]
+        + [("ok", "ref", float(v % 7)) for v in range(80)]
+        + [("ok", "cur", float(v % 7) + 5.0) for v in range(70)]
+    )
+    tagged = spark.createDataFrame(rows, "grp string, side string, v double")
+    got = {
+        r.grp: r
+        for r in grouped_distribution_drift_binned(
+            tagged, ["grp"], "v", nbins=10, psi_nbins=5, exact_edges=True
+        ).collect()
+    }
+    c = got["const"]
+    assert (c.n_ref, c.n_cur) == (60, 55) and not c.gated
+    assert c.js == 0.0 and c.ks_d == 0.0 and c.wd == 0.0 and c.wd_norm == 0.0
+    o = got["onesided"]
+    assert o.n_ref == 0 and o.gated and o.js == 0.0 and o.t_stat == 0.0
+    assert got["ok"].ks_d > 0.5  # disjoint-ish ranges: drift is real
+
+
+def test_grouped_embedding_edge_cases(spark):
+    """Zero-vector rows (cosine guard -> distance 1.0) and a one-sided
+    group must not divide by zero or emit nulls."""
+    from llm_drift_detector_spark.drift import grouped_embedding_drift
+
+    rng = np.random.default_rng(29)
+    rows = (
+        [("zeros", "ref", [0.0, 0.0, 0.0, 0.0]) for _ in range(15)]
+        + [("zeros", "cur", [0.0, 0.0, 0.0, 0.0]) for _ in range(15)]
+        + [("onesided", "cur", rng.normal(1, 1, 4).tolist()) for _ in range(30)]
+    )
+    tagged = spark.createDataFrame(
+        rows, "grp string, side string, embedding array<double>"
+    )
+    got = {
+        r.grp: r
+        for r in grouped_embedding_drift(
+            tagged, ["grp"], "embedding", min_samples=10
+        ).collect()
+    }
+    z = got["zeros"]
+    # zero centroids: cosine guard fires -> centroid distance 1.0, every
+    # per-row distance 1.0, variance change 0 -> score 0.6 + 0.2 = 0.8
+    assert not z.gated
+    assert z.centroid_distance == pytest.approx(1.0)
+    assert z.ref_intra == pytest.approx(1.0) and z.avg_dist_to_ref == pytest.approx(1.0)
+    assert z.drift_score == pytest.approx(0.8)
+    o = got["onesided"]
+    assert o.gated and o.n_ref == 0 and o.drift_score == 0.0
