@@ -28,6 +28,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 from ..config import LEXICAL_THRESHOLD, MIN_SAMPLES
+from .grouped import tag_windows
 
 
 def token_counts(df: DataFrame, col: str) -> DataFrame:
@@ -143,10 +144,11 @@ def grouped_lexical_drift(
     """Per-group C13+C14 for ALL groups in ONE plan — no Python.
 
     The reference loops the semantic detector per provider
-    (``detectors/__init__.py:58-86``); r2's :func:`lexical_drift` is
-    still 4 actions per pair.  Here every group shares one plan built
-    from four grouped sub-aggregates, each bounded by |vocab| or
-    #groups after its map-side combine:
+    (``detectors/__init__.py:58-86``).  Here every group shares one
+    plan built from four grouped sub-aggregates, each bounded by
+    |vocab| or #groups after its map-side combine (and the single-pair
+    :func:`lexical_drift` delegates here with a constant key — one
+    action either way):
 
     - token counts per (keys, token) with per-side sums -> per-group
       jaccard + the reference's inside-the-log JS (side-total
@@ -277,6 +279,12 @@ def grouped_lexical_drift(
         zero(score).alias("lexical_score"),
         (~gated & (score > detector_threshold)).alias("drift_detected"),
         gated.alias("gated"),
+        # raw side features, for callers assembling the reference's
+        # analysis dict (lexical_drift delegates here)
+        F.coalesce(F.col("ref_vocab"), F.lit(0)).cast("bigint").alias("ref_vocab"),
+        F.coalesce(F.col("cur_vocab"), F.lit(0)).cast("bigint").alias("cur_vocab"),
+        F.coalesce(F.col("asl_r"), F.lit(0.0)).cast("double").alias("ref_avg_sentence_len"),
+        F.coalesce(F.col("asl_c"), F.lit(0.0)).cast("double").alias("cur_avg_sentence_len"),
     )
 
 
@@ -288,36 +296,42 @@ def lexical_drift(
     min_samples: int = MIN_SAMPLES,
 ) -> dict:
     """Full lexical detector: 0.6 * vocab_diff + 0.4 * style_diff
-    (semantic.py:312-315)."""
-    n_ref = ref.where(F.col(col).isNotNull()).count()
-    n_cur = cur.where(F.col(col).isNotNull()).count()
+    (semantic.py:312-315).
+
+    FUSED (r3): delegates to :func:`grouped_lexical_drift` with a
+    constant group key, so the whole detector — counts, vocab join, JS,
+    style features both sides — is ONE Spark action (r2's version
+    issued ~6 collects; parity between the two paths is asserted in
+    ``test_grouped_lexical_drift_matches_single_pair``)."""
+    tagged = tag_windows(
+        ref.select(F.col(col)), cur.select(F.col(col))
+    ).withColumn("_g", F.lit(1))
+    row = grouped_lexical_drift(
+        tagged, ["_g"], col,
+        detector_threshold=detector_threshold, min_samples=min_samples,
+    ).collect()[0]
     result: dict = {
         "metric_name": "lexical_drift",
-        "reference_size": n_ref,
-        "current_size": n_cur,
+        "reference_size": int(row.n_ref),
+        "current_size": int(row.n_cur),
         "threshold": detector_threshold,
     }
-    if n_ref < min_samples or n_cur < min_samples:
+    if row.gated:
         result.update({"drift_score": 0.0, "drift_detected": False, "gated": True})
         return result
-    vd = vocab_difference_frame(ref, cur, col).collect()[0]
-    rf = style_features_frame(ref, col).collect()[0].asDict()
-    cf = style_features_frame(cur, col).collect()[0].asDict()
-    sd = style_difference(rf, cf)
-    score = 0.6 * float(vd.vocab_diff) + 0.4 * sd
     result.update(
         {
-            "drift_score": score,
-            "drift_detected": score > detector_threshold,
+            "drift_score": float(row.lexical_score),
+            "drift_detected": bool(row.drift_detected),
             "analysis": {
-                "vocabulary_difference": float(vd.vocab_diff),
-                "style_difference": sd,
-                "jaccard": float(vd.jaccard),
-                "js": float(vd.js),
-                "reference_vocab_size": int(vd.ref_vocab),
-                "current_vocab_size": int(vd.cur_vocab),
-                "reference_avg_length": float(rf["avg_sentence_len"]),
-                "current_avg_length": float(cf["avg_sentence_len"]),
+                "vocabulary_difference": float(row.vocab_diff),
+                "style_difference": float(row.style_diff),
+                "jaccard": float(row.jaccard),
+                "js": float(row.js),
+                "reference_vocab_size": int(row.ref_vocab),
+                "current_vocab_size": int(row.cur_vocab),
+                "reference_avg_length": float(row.ref_avg_sentence_len),
+                "current_avg_length": float(row.cur_avg_sentence_len),
             },
         }
     )

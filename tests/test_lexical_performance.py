@@ -209,3 +209,32 @@ def test_drift_summary_status(spark):
     s = {r.detector_name: r for r in drift_summary(m).collect()}
     assert s["ks_test"].status == "critical" and s["ks_test"].max_drift_score == 0.9
     assert s["js"].status == "normal"
+
+
+def test_lexical_drift_fused_single_action(spark, monkeypatch):
+    """lexical_drift delegates to the grouped one-job path: exactly ONE
+    Spark action regardless of gate state (r2: ~6 collects)."""
+    from llm_drift_detector_spark.drift import lexical_drift
+
+    ra = spark.createDataFrame(
+        [("the cat sat. a dog ran.",)] * 12, "transcript string"
+    )
+    rb = spark.createDataFrame(
+        [("one two three. four five six.",)] * 11, "transcript string"
+    )
+    cls = type(ra)
+    calls = {"n": 0}
+    orig = cls.collect
+
+    def counting(self):
+        calls["n"] += 1
+        return orig(self)
+
+    monkeypatch.setattr(cls, "collect", counting)
+    res = lexical_drift(ra, rb, "transcript")
+    assert calls["n"] == 1
+    assert res["drift_detected"] and res["analysis"]["jaccard"] > 0.9
+
+    calls["n"] = 0
+    gated = lexical_drift(ra.limit(2), rb, "transcript")
+    assert calls["n"] == 1 and gated.get("gated")
