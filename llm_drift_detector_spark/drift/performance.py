@@ -68,67 +68,71 @@ def performance_drift(
     ``metrics``: [{"name": col, "upper_threshold": x?, "lower_threshold": y?}]
     plus optionally {"name": "error_rate", "upper_threshold": r} paired
     with ``error_condition``.
+
+    FUSED (r3): delegates to :func:`grouped_performance_drift` with a
+    constant group key — every metric's two-sided stats plus error
+    rates ride ONE aggregate and one collect (r2's version issued
+    2 + 2x error-rate collects); Welch p-values are finished
+    driver-side from the collected moments.
     """
-    names = [m["name"] for m in metrics if m["name"] != "error_rate"]
-    ref_stats = _metric_stats(ref, names) if names else {}
-    cur_stats = _metric_stats(cur, names) if names else {}
+    from .grouped import tag_windows
+
+    tagged = tag_windows(ref, cur).withColumn("_g", F.lit(1))
+    rows = {
+        r.metric: r
+        for r in grouped_performance_drift(
+            tagged,
+            ["_g"],
+            metrics,
+            error_condition=error_condition,
+            detector_threshold=detector_threshold,
+        ).collect()
+    }
 
     metric_results: dict[str, dict] = {}
-    overall, num = 0.0, 0
     for mc in metrics:
         name = mc["name"]
+        row = rows.get(name)
+        if row is None or row.gated:
+            continue  # performance.py:90-91 min 5 gate (or no error cond)
         upper, lower = mc.get("upper_threshold"), mc.get("lower_threshold")
         if name == "error_rate":
-            if error_condition is None:
-                continue
-            r = error_rate_frame(ref, error_condition).collect()[0].error_rate
-            c = error_rate_frame(cur, error_condition).collect()[0].error_rate
-            rel = (c - r) / r if r > 0 else c * 100  # performance.py:99-103
-            drift = min(max(0.0, rel) / 2.0, 1.0)
             metric_results[name] = {
-                "reference_value": r,
-                "current_value": c,
-                "relative_change": rel,
-                "drift_score": drift,
-                "drift_detected": (upper is not None and c > upper) or drift > 0.5,
+                "reference_value": float(row.ref_value),
+                "current_value": float(row.cur_value),
+                "relative_change": float(row.relative_change),
+                "drift_score": float(row.drift_score),
+                "drift_detected": bool(row.drift_detected),
             }
         else:
-            rs, cs = ref_stats[name], cur_stats[name]
-            if rs["n"] < 5 or cs["n"] < 5:
-                continue  # performance.py:90-91 min 5 gate
-            rel = (cs["mean"] - rs["mean"]) / rs["mean"] if rs["mean"] > 0 else 0.0
-            exceeded = (upper is not None and cs["mean"] > upper) or (
-                lower is not None and cs["mean"] < lower
+            exceeded = (upper is not None and row.cur_value > upper) or (
+                lower is not None and row.cur_value < lower
             )
             _, _, p = welch_t(
-                rs["mean"], rs["var"], rs["n"], cs["mean"], cs["var"], cs["n"]
+                float(row.ref_value), float(row.ref_var), int(row.ref_n),
+                float(row.cur_value), float(row.cur_var), int(row.cur_n),
             )
-            drift = min(abs(rel) / 0.5, 1.0)
-            if exceeded:
-                drift = max(drift, 0.8)
             metric_results[name] = {
-                "reference_mean": rs["mean"],
-                "reference_std": rs["std"],
-                "current_mean": cs["mean"],
-                "current_std": cs["std"],
-                "relative_change": rel,
+                "reference_mean": float(row.ref_value),
+                "reference_std": float(row.ref_std),
+                "current_mean": float(row.cur_value),
+                "current_std": float(row.cur_std),
+                "relative_change": float(row.relative_change),
                 "p_value": p,
                 "statistically_significant": p < 0.05,
                 "threshold_exceeded": exceeded,
-                "drift_score": drift,
-                "drift_detected": drift > 0.5 or exceeded,
+                "drift_score": float(row.drift_score),
+                "drift_detected": bool(row.drift_detected),
             }
-        overall += metric_results[name]["drift_score"]
-        num += 1
-
-    overall = overall / num if num else 0.0
+    overall_row = rows["overall"]
+    overall = float(overall_row.drift_score)
     return {
         "metric_name": "performance_drift",
         "drift_score": overall,
-        "drift_detected": overall > detector_threshold,
+        "drift_detected": bool(overall_row.drift_detected),
         "threshold": detector_threshold,
         "metrics": metric_results,
-        "num_metrics_analyzed": num,
+        "num_metrics_analyzed": len(metric_results),
     }
 
 
@@ -170,6 +174,10 @@ def grouped_performance_drift(
             F.count(F.when(~is_r, c)).alias(f"{name}__nc"),
             F.avg(F.when(is_r, c)).alias(f"{name}__mr"),
             F.avg(F.when(~is_r, c)).alias(f"{name}__mc"),
+            F.coalesce(F.var_samp(F.when(is_r, c)), F.lit(0.0)).alias(f"{name}__vr"),
+            F.coalesce(F.var_samp(F.when(~is_r, c)), F.lit(0.0)).alias(f"{name}__vc"),
+            F.coalesce(F.stddev_pop(F.when(is_r, c)), F.lit(0.0)).alias(f"{name}__sr"),
+            F.coalesce(F.stddev_pop(F.when(~is_r, c)), F.lit(0.0)).alias(f"{name}__sc"),
         ]
     if error_condition is not None:
         e = error_condition.cast("double")
@@ -185,6 +193,9 @@ def grouped_performance_drift(
     for mc in metrics:
         name = mc["name"]
         upper, lower = mc.get("upper_threshold"), mc.get("lower_threshold")
+        nulld = F.lit(None).cast("double")
+        nulln = F.lit(None).cast("bigint")
+        moments = [nulln, nulln, nulld, nulld, nulld, nulld]
         if name == "error_rate":
             if error_condition is None:
                 continue
@@ -211,6 +222,14 @@ def grouped_performance_drift(
                 base_drift
             )
             detected = (drift > 0.5) | exceeded
+            moments = [
+                nr.cast("bigint"),
+                nc.cast("bigint"),
+                F.col(f"{name}__vr"),
+                F.col(f"{name}__vc"),
+                F.col(f"{name}__sr"),
+                F.col(f"{name}__sc"),
+            ]
         zero = lambda x: F.when(gated, F.lit(0.0)).otherwise(x)  # noqa: E731
         structs.append(
             F.struct(
@@ -221,6 +240,12 @@ def grouped_performance_drift(
                 zero(F.coalesce(drift, F.lit(0.0))).cast("double").alias("drift_score"),
                 (~gated & F.coalesce(detected, F.lit(False))).alias("drift_detected"),
                 gated.alias("gated"),
+                moments[0].alias("ref_n"),
+                moments[1].alias("cur_n"),
+                moments[2].alias("ref_var"),
+                moments[3].alias("cur_var"),
+                moments[4].alias("ref_std"),
+                moments[5].alias("cur_std"),
             )
         )
         drift_terms.append(F.when(~gated, F.coalesce(drift, F.lit(0.0))))
@@ -238,6 +263,12 @@ def grouped_performance_drift(
             overall.cast("double").alias("drift_score"),
             (overall > detector_threshold).alias("drift_detected"),
             (overall_den == 0).alias("gated"),
+            F.lit(None).cast("bigint").alias("ref_n"),
+            F.lit(None).cast("bigint").alias("cur_n"),
+            F.lit(None).cast("double").alias("ref_var"),
+            F.lit(None).cast("double").alias("cur_var"),
+            F.lit(None).cast("double").alias("ref_std"),
+            F.lit(None).cast("double").alias("cur_std"),
         )
     )
     return st.select(*keys, F.explode(F.array(*structs)).alias("m")).select(

@@ -238,3 +238,41 @@ def test_lexical_drift_fused_single_action(spark, monkeypatch):
     calls["n"] = 0
     gated = lexical_drift(ra.limit(2), rb, "transcript")
     assert calls["n"] == 1 and gated.get("gated")
+
+
+def test_performance_drift_fused_single_action(spark, monkeypatch):
+    """performance_drift delegates to the grouped one-job path: ONE
+    Spark action for any metric mix (r2: 2 + 2x error-rate collects)."""
+    import pyspark.sql.functions as F
+
+    from llm_drift_detector_spark.drift import performance_drift
+
+    ra = spark.createDataFrame(
+        [(float(v), v % 9 == 0) for v in range(60)], "latency double, is_err boolean"
+    )
+    rb = spark.createDataFrame(
+        [(float(v) * 2.1, v % 4 == 0) for v in range(55)],
+        "latency double, is_err boolean",
+    )
+    cls = type(ra)
+    calls = {"n": 0}
+    orig = cls.collect
+
+    def counting(self):
+        calls["n"] += 1
+        return orig(self)
+
+    monkeypatch.setattr(cls, "collect", counting)
+    res = performance_drift(
+        ra, rb,
+        metrics=[{"name": "latency", "upper_threshold": 80.0},
+                 {"name": "error_rate"}],
+        error_condition=F.col("is_err"),
+    )
+    assert calls["n"] == 1
+    assert set(res["metrics"]) == {"latency", "error_rate"}
+    assert res["metrics"]["latency"]["p_value"] < 0.05
+    # cur mean ~56.7 < 80: not threshold-exceeded, but the ~0.9 relative
+    # change saturates the drift score -> detected
+    assert not res["metrics"]["latency"]["threshold_exceeded"]
+    assert res["metrics"]["latency"]["drift_detected"]
