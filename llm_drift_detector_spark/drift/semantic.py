@@ -72,9 +72,31 @@ def perplexity_drift(
     threshold: float = PERPLEXITY_THRESHOLD,
     min_samples: int = MIN_SAMPLES,
 ) -> dict:
-    """C11: relative change of mean perplexity, /threshold capped at 1."""
-    n_ref = ref.where(F.col(col).isNotNull()).count()
-    n_cur = cur.where(F.col(col).isNotNull()).count()
+    """C11: relative change of mean perplexity, /threshold capped at 1.
+
+    FUSED (r3): two Spark actions (one when gated).  Action 1 counts
+    both windows in one tagged-union aggregate; action 2 scores BOTH
+    windows under the reference LM in one plan — the LM token counts
+    and their Laplace totals stay IN-plan (1-row aggregate broadcast +
+    vocab-frame broadcast join; no driver round-trip), then one
+    two-level aggregation (per doc, then per side) produces both mean
+    perplexities.  r2's version issued ~5 actions and collected LM
+    totals to the driver.
+    """
+    tagged = (
+        ref.where(F.col(col).isNotNull())
+        .select(F.col(col).alias("t"), F.lit(1).alias("is_ref"))
+        .unionByName(
+            cur.where(F.col(col).isNotNull())
+            .select(F.col(col).alias("t"), F.lit(0).alias("is_ref"))
+        )
+    )
+    is_r = F.col("is_ref") == 1
+    counts = tagged.agg(
+        F.count(F.when(is_r, 1)).alias("nr"),
+        F.count(F.when(~is_r, 1)).alias("nc"),
+    ).collect()[0]
+    n_ref, n_cur = int(counts.nr), int(counts.nc)
     result: dict = {
         "metric_name": "perplexity_drift",
         "reference_size": n_ref,
@@ -84,12 +106,36 @@ def perplexity_drift(
     if n_ref < min_samples or n_cur < min_samples:
         result.update({"drift_score": 0.0, "drift_detected": False, "gated": True})
         return result
-    ref_mean = (
-        unigram_perplexities(ref, ref, col).agg(F.avg("perplexity")).collect()[0][0]
+
+    docs = tagged.withColumn("_doc", F.monotonically_increasing_id())
+    toks = docs.select(
+        "is_ref", "_doc", F.explode(F.split(F.lower(F.col("t")), r"\s+")).alias("token")
+    ).where(F.col("token") != "")
+    lm = toks.where(F.col("is_ref") == 1).groupBy("token").agg(
+        F.count("*").alias("cnt")
     )
-    cur_mean = (
-        unigram_perplexities(ref, cur, col).agg(F.avg("perplexity")).collect()[0][0]
+    totals = lm.agg(
+        (F.coalesce(F.sum("cnt"), F.lit(0)) + F.count("*")).alias("denom")
     )
+    scored = (
+        toks.crossJoin(F.broadcast(totals))
+        .join(F.broadcast(lm), "token", "left")
+        .select(
+            "is_ref",
+            "_doc",
+            F.log(
+                (F.coalesce(F.col("cnt"), F.lit(0)) + 1.0) / F.col("denom")
+            ).alias("logp"),
+        )
+    )
+    perdoc = scored.groupBy("is_ref", "_doc").agg(
+        F.exp(-F.avg("logp")).alias("ppl")
+    )
+    means = perdoc.agg(
+        F.avg(F.when(is_r, F.col("ppl"))).alias("mr"),
+        F.avg(F.when(~is_r, F.col("ppl"))).alias("mc"),
+    ).collect()[0]
+    ref_mean, cur_mean = float(means.mr or 0.0), float(means.mc or 0.0)
     rel = abs(cur_mean - ref_mean) / max(ref_mean, 1e-10)
     score = min(rel / threshold, 1.0)
     result.update(
