@@ -176,6 +176,58 @@ def topic_histogram(df: DataFrame, topic_col: str = "topic") -> DataFrame:
     )
 
 
+def grouped_topic_drift(
+    df: DataFrame,
+    keys: list[str],
+    topic_col: str = "topic",
+    side_col: str = "side",
+    threshold: float = TOPIC_THRESHOLD,
+) -> DataFrame:
+    """C12 for ALL groups in ONE fully-native job — one row per group.
+
+    The reference runs the semantic detector per provider
+    (``detectors/__init__.py:58-86``); here every group's topic
+    distributions, JS (epsilon inside the log, semantic.py:244-271) and
+    /0.4-capped score ride one plan: groupBy(keys, topic) counts both
+    sides, per-group windowed totals normalize, one groupBy(keys)
+    reduces to the verdict.  State per group is O(#topics).
+    Input is the ``tag_windows`` tagged-union shape.
+    """
+    is_r = F.col(side_col) == "ref"
+    counts = (
+        df.where(F.col(topic_col).isNotNull())
+        .groupBy(*keys, topic_col)
+        .agg(
+            F.sum(is_r.cast("bigint")).alias("cr"),
+            F.sum((~is_r).cast("bigint")).alias("cc"),
+        )
+    )
+    gw = Window.partitionBy(*keys)
+    probs = counts.select(
+        *keys,
+        F.try_divide(F.col("cr"), F.sum("cr").over(gw)).alias("pr"),
+        F.try_divide(F.col("cc"), F.sum("cc").over(gw)).alias("pc"),
+    ).fillna(0.0, subset=["pr", "pc"])
+    m = (F.col("pr") + F.col("pc")) / 2
+    out = probs.groupBy(*keys).agg(
+        (
+            0.5 * F.sum(F.col("pr") * F.log(F.col("pr") / m + 1e-10))
+            + 0.5 * F.sum(F.col("pc") * F.log(F.col("pc") / m + 1e-10))
+        ).cast("double").alias("js"),
+        F.sum((F.col("pr") > 0).cast("int")).alias("ref_topics"),
+        F.sum((F.col("pc") > 0).cast("int")).alias("cur_topics"),
+    )
+    js = F.coalesce(F.col("js"), F.lit(0.0))
+    return out.select(
+        *keys,
+        js.alias("js"),
+        F.least(js / threshold, F.lit(1.0)).cast("double").alias("drift_score"),
+        (js > threshold).alias("drift_detected"),
+        "ref_topics",
+        "cur_topics",
+    )
+
+
 def topic_drift(
     ref: DataFrame,
     cur: DataFrame,

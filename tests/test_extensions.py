@@ -256,3 +256,43 @@ def test_weighted_sample_modes(spark):
     ids1 = sorted(r.id for r in weighted_sample(df, "grp", {"a": 1.0}, seed=3, exact_k=10).collect())
     ids2 = sorted(r.id for r in weighted_sample(df, "grp", {"a": 1.0}, seed=3, exact_k=10).collect())
     assert ids1 == ids2
+
+
+def test_grouped_topic_drift_matches_single_pair(spark):
+    """Per-group C12 in one job == topic_drift on each group's windows;
+    native plan, one-sided topics handled like the full-outer join."""
+    from llm_drift_detector_spark.drift.grouped import tag_windows
+    from llm_drift_detector_spark.drift.semantic import grouped_topic_drift, topic_drift
+
+    import numpy as np
+    import pytest
+
+    rng = np.random.default_rng(41)
+    tg = {
+        "same": (rng.integers(0, 5, 300), rng.integers(0, 5, 280)),
+        "shifted": (rng.integers(0, 5, 300), rng.integers(5, 8, 260)),
+    }
+    rows = []
+    for g, (r, c) in tg.items():
+        rows += [(g, "ref", int(t)) for t in r]
+        rows += [(g, "cur", int(t)) for t in c]
+    tagged = spark.createDataFrame(rows, "grp string, side string, topic int")
+    got = {r.grp: r for r in grouped_topic_drift(tagged, ["grp"]).collect()}
+    for g, (r, c) in tg.items():
+        ra = spark.createDataFrame([(int(t),) for t in r], "topic int")
+        rb = spark.createDataFrame([(int(t),) for t in c], "topic int")
+        exp = topic_drift(ra, rb)
+        assert got[g].js == pytest.approx(
+            exp["analysis"]["jensen_shannon_divergence"], abs=1e-9
+        ), g
+        assert got[g].drift_score == pytest.approx(exp["drift_score"], abs=1e-9)
+        assert got[g].drift_detected == exp["drift_detected"]
+        assert got[g].ref_topics == exp["analysis"]["reference_topic_count"]
+        assert got[g].cur_topics == exp["analysis"]["current_topic_count"]
+    assert got["shifted"].drift_detected and not got["same"].drift_detected
+    # native plan
+    plan = grouped_topic_drift(
+        tagged, ["grp"]
+    )._jdf.queryExecution().executedPlan().toString()
+    for bad in ("EvalPython", "InPandas", "MapInArrow"):
+        assert bad not in plan
