@@ -40,7 +40,6 @@ from llm_drift_detector_spark.config import CODEC_WHITELIST, SR_HZ_DOMAIN
 from llm_drift_detector_spark.drift import (
     centroid,
     centroid_cosine_frame,
-    error_rate_frame,
     js_psi_frame,
     ks_frame,
     mean_dist_frame,
@@ -218,19 +217,6 @@ def q_topk_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_stats_profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    return _round4(profile(li, ["l_quantity", "l_extendedprice", "l_discount"]))
-
-
-def q_uniqueness_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _round4(uniqueness_metrics(_t(spark, sf_dir, "orders"), "o_orderkey"))
-
-
-def q_uniqueness_events_user(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _round4(uniqueness_metrics(_t(spark, sf_dir, "events"), "user_id"))
-
-
 def q_uniqueness_orders_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL-sketch uniqueness (the 10^12-row path), made oracle-checkable:
     the HLL estimate itself is engine-specific, so the query emits the
@@ -250,18 +236,6 @@ def q_uniqueness_orders_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05
         ).alias("within_tolerance"),
     )
-
-
-def q_referential_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("clip_id"))
-    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("clip_id"))
-    return orphans(o, c).select(F.col("clip_id").cast("bigint").alias("orphan_key"))
-
-
-def q_referential_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("clip_id"))
-    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("clip_id"))
-    return orphans(c, o).select(F.col("clip_id").cast("bigint").alias("orphan_key"))
 
 
 def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -423,11 +397,6 @@ def q_rolling_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round(got.orderBy("event_id"), 6)
 
 
-def q_error_rate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    return _round(error_rate_frame(ev, F.col("event_type") == "error"), 6)
-
-
 def q_pivot_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7 heatmap analog: mean quantity, returnflag x linestatus."""
     li = _t(spark, sf_dir, "lineitem")
@@ -481,14 +450,6 @@ def q_embedding_mean_dist_to_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref, cur = _emb_windows(spark, sf_dir)
     c = centroid(ref, "embedding", 64)
     return _round(mean_dist_frame(cur, "embedding", c, "cosine"), 6)
-
-
-def q_clips_embedding_centroid_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ref = _clips(spark, sf_dir, "transcripts_reference").select("embedding")
-    cur = _clips(spark, sf_dir, "transcripts").select("embedding")
-    from llm_drift_detector_spark.synth.clips import EMBED_DIM
-
-    return _round(centroid_cosine_frame(ref, cur, "embedding", EMBED_DIM), 6)
 
 
 def q_clips_transcript_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -692,18 +653,6 @@ def q_drift_psi_quantile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_drift_moments_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref, cur = _events_windows(spark, sf_dir)
     return _round(two_sample_moments(ref, cur, "value"), 4)
-
-
-def q_clips_drift_js_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ref = _clips(spark, sf_dir, "clips_reference").select("dur_ms")
-    cur = _clips(spark, sf_dir, "clips").select("dur_ms")
-    return _round(js_psi_frame(ref, cur, "dur_ms", nbins=ORACLE_NBINS), 6)
-
-
-def q_clips_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ref = _clips(spark, sf_dir, "clips_reference").select("dur_ms")
-    cur = _clips(spark, sf_dir, "clips").select("dur_ms")
-    return _round(ks_frame(ref, cur, "dur_ms"), 6)
 
 
 def q_drift_combine_events(spark: SparkSession, sf_dir: str) -> DataFrame:
