@@ -282,3 +282,53 @@ def test_duplicate_clusters_connected_components(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
                    10: 10, 11: 10, 12: 10,
                    20: 20, 21: 20}
+
+
+def test_duplicate_clusters_random_graphs_vs_union_find(spark):
+    """Pointer-doubled hash-min components vs a pure-Python union-find
+    oracle over seeded random graphs (mixes chains, stars, cliques,
+    isolated edges — every shape the LSH candidate graph can take)."""
+    import numpy as np
+
+    from llm_drift_detector_spark.textops import duplicate_clusters
+
+    def uf_components(edges):
+        parent: dict[int, int] = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {x: find(x) for x in parent}
+
+    # six independent random graphs spliced into ONE disjoint edge set
+    # (per-trial id offsets) so the whole property check is a single
+    # iterative job instead of six — components never cross trials.
+    rng = np.random.default_rng(101)
+    edges = set()
+    for trial in range(6):
+        off = trial * 100_000
+        n = int(rng.integers(20, 120))
+        m = int(rng.integers(10, 3 * n))
+        for _ in range(m):
+            a, b = int(rng.integers(0, n)), int(rng.integers(0, n))
+            if a != b:
+                edges.add((off + min(a, b), off + max(a, b)))
+        # splice in a long chain (worst case for propagation depth)
+        base = off + n + 1000
+        for i in range(25):
+            edges.add((base + i, base + i + 1))
+    edges = sorted(edges)
+    exp = uf_components(edges)
+    pairs = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    got = {
+        r.id: r.cluster_id
+        for r in duplicate_clusters(pairs, max_iters=30).collect()
+    }
+    assert got == exp, "component labels diverge from union-find oracle"
