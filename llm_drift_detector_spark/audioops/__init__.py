@@ -1,0 +1,27 @@
+"""Audio-modality pipeline operators: dedup, fingerprints, features.
+
+The text-side training-data operators (:mod:`..textops`) have audio
+equivalents here — the graft cell is pyspark x audio, so deduplication
+and quality profiling must work on the payload column, not just the
+transcript.  Everything decodes scan-side (mapInArrow) and shuffles only
+small derived rows; payload bytes never enter an exchange.
+"""
+
+from .dedup import (
+    audio_duplicate_pairs,
+    audio_fingerprints,
+    exact_duplicates_audio,
+    fingerprint_candidates,
+    verify_pairs_pcm,
+)
+from .features import audio_feature_drift, audio_features
+
+__all__ = [
+    "audio_duplicate_pairs",
+    "audio_feature_drift",
+    "audio_features",
+    "audio_fingerprints",
+    "exact_duplicates_audio",
+    "fingerprint_candidates",
+    "verify_pairs_pcm",
+]

@@ -1,0 +1,309 @@
+"""Audio deduplication: exact payload dup + fingerprint near-dup.
+
+Mirrors the text strategies (``textops/dedup.py``) on the payload
+column.  The reference has no audio path at all (it assumes uuid
+uniqueness, ``data/collector.py:29``); these are engine additions for
+the 100 TB audio tier, where re-encoded / re-gained copies of the same
+recording are the dominant duplication mode and byte-hash dedup misses
+them by construction.
+
+Strategies, cheapest first:
+
+- exact: hash-groupBy on md5(bytes) — one shuffle of ~50 B/row, the
+  canonical plan.  Catches bit-identical payloads only.
+- fingerprint LSH: decode scan-side -> frame the PCM into F equal
+  windows -> per-window energy -> bit f = (e[f+1] > e[f]) -> split the
+  bit string into B bands of F//B bits.  Clips sharing ANY exact
+  (band, band_sig) are candidates.  The energy-DELTA-sign bits are
+  invariant to constant gain (scaling multiplies every window energy by
+  the same factor) and to time-stretch-free re-encodes (lossy
+  companding perturbs energies far less than the signal envelope moves
+  them), so a re-encoded or re-gained copy lands in the same buckets.
+- verification: candidate pairs only — decode both payloads and gate on
+  zero-lag normalized correlation (gain-invariant, unlike SNR) plus a
+  length-ratio bound.
+
+Scale shape (the part that must survive 10^12 rows):
+
+1. Fingerprints are computed scan -> (salted repartition) -> mapInArrow;
+   the payload column is consumed INSIDE the scan stage and only
+   (id, band, band_sig) rows — tens of bytes — reach the bucket
+   shuffle.
+2. Candidate volume is bounded by bucket sizes, never the corpus;
+   mega-buckets (silence, test tones — constant energy makes an
+   all-zero bit string) are salted into capped sub-buckets exactly like
+   the minhash path (``textops/dedup.py:112-125``), and components
+   re-connect through the other bands.
+3. Verification decodes ONLY candidate-pair rows: the pair list is
+   broadcast against the clips table (or bucket-pruned at Iceberg
+   scale), so the expensive double-decode touches ~violation-rate rows.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..checks.audio import _decode_np
+from ..textops.dedup import candidate_pairs  # same (band, band_sig, id) shape
+
+DEFAULT_FRAMES = 129   # -> 128 delta bits
+DEFAULT_BANDS = 8      # -> 16 bits/band: P(random band collision) = 2^-16
+
+
+def exact_duplicates_audio(
+    df: DataFrame, id_col: str = "clip_id", payload_col: str = "bytes"
+) -> DataFrame:
+    """(id, dup_group md5, group_size) for every bit-identical payload
+    group with >= 2 members.  Same plan as the text path
+    (``textops/dedup.py::exact_duplicates``): project the hash before
+    the shuffle so payloads stay in the scan stage."""
+    h = F.md5(F.col(payload_col)).alias("dup_group")
+    w = df.select(F.col(id_col).alias("id"), h)
+    counts = w.groupBy("dup_group").agg(F.count("*").alias("group_size"))
+    return (
+        w.join(counts.where(F.col("group_size") > 1), "dup_group")
+        .select("id", "dup_group", "group_size")
+    )
+
+
+def _fingerprint_bits(pcm: np.ndarray, n_frames: int) -> np.ndarray | None:
+    """Energy-delta sign bits for one decoded clip (None if too short)."""
+    if pcm is None or len(pcm) < n_frames:
+        return None
+    x = pcm.astype(np.float64)
+    energies = np.array([float(np.mean(c * c)) for c in np.array_split(x, n_frames)])
+    return (energies[1:] > energies[:-1]).astype(np.uint8)
+
+
+_FP_SCHEMA = pa.schema(
+    [("id", pa.string()), ("band", pa.int32()), ("band_sig", pa.string())]
+)
+
+
+def audio_fingerprints(
+    clips: DataFrame,
+    id_col: str = "clip_id",
+    payload_col: str = "bytes",
+    codec_col: str = "codec",
+    n_frames: int = DEFAULT_FRAMES,
+    bands: int = DEFAULT_BANDS,
+    salted: bool = True,
+    n_partitions: int | None = None,
+    salt: int = 17,
+) -> DataFrame:
+    """(id, band, band_sig) acoustic LSH signatures, decoded scan-side.
+
+    ``band_sig`` is the band's bit group rendered as a hex string (so the
+    output shape matches :func:`..textops.dedup.candidate_pairs` and the
+    salting wrapper verbatim).  Undecodable or too-short clips emit no
+    rows — dedup of broken payloads is the validator's job, not ours.
+    """
+    nf, nb = int(n_frames), int(bands)
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            ids = b.column("id")
+            payloads = b.column("payload")
+            codecs_ = b.column("codec").to_pylist()
+            out_id: list[str] = []
+            out_band: list[int] = []
+            out_sig: list[str] = []
+            for i in range(b.num_rows):
+                bits = _fingerprint_bits(
+                    _decode_np(payloads[i].as_py(), codecs_[i]), nf
+                )
+                if bits is None:
+                    continue
+                cid = ids[i].as_py()
+                for band_idx, group in enumerate(np.array_split(bits, nb)):
+                    sig = 0
+                    for bit in group:
+                        sig = (sig << 1) | int(bit)
+                    out_id.append(cid)
+                    out_band.append(band_idx)
+                    out_sig.append(format(sig, "x"))
+            if out_id:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(out_id, type=pa.string()),
+                        pa.array(out_band, type=pa.int32()),
+                        pa.array(out_sig, type=pa.string()),
+                    ],
+                    schema=_FP_SCHEMA,
+                )
+
+    src = clips.select(
+        F.col(id_col).alias("id"),
+        F.col(payload_col).alias("payload"),
+        F.col(codec_col).alias("codec"),
+    )
+    if salted:
+        n = int(
+            n_partitions
+            or clips.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+        src = src.repartition(n, F.xxhash64("id", F.lit(salt)))
+    return src.mapInArrow(kernel, "id string, band int, band_sig string")
+
+
+def fingerprint_candidates(
+    fp: DataFrame, max_bucket_size: int | None = 1000
+) -> DataFrame:
+    """Distinct candidate (id_a, id_b) pairs from fingerprint buckets.
+
+    Bucket-count filter + mega-bucket salting mirror the minhash path
+    (``textops/dedup.py:110-126``): oversized buckets — silence and
+    constant tones collapse to one all-zero signature — are split into
+    ceil(n/cap) sub-buckets by ``pmod(xxhash64(id, band), n_sub)``; the
+    band participates so each band partitions the mega-bucket
+    differently and components re-link through surviving pairs.
+    """
+    counts = fp.groupBy("band", "band_sig").agg(F.count("*").alias("n"))
+    joined = fp.join(counts.where(F.col("n") > 1), ["band", "band_sig"])
+    if max_bucket_size:
+        n_sub = F.ceil(F.col("n") / max_bucket_size).cast("bigint")
+        salted_sig = F.when(
+            F.col("n") > max_bucket_size,
+            F.concat_ws(
+                "#",
+                F.col("band_sig"),
+                F.pmod(F.xxhash64("id", F.col("band")), n_sub).cast("string"),
+            ),
+        ).otherwise(F.col("band_sig"))
+        joined = joined.withColumn("band_sig", salted_sig)
+    return candidate_pairs(joined.select("band", "band_sig", "id"))
+
+
+_VERIFY_SCHEMA = (
+    "id_a string, id_b string, corr double, len_ratio double"
+)
+
+
+def verify_pairs_pcm(
+    pairs: DataFrame,
+    clips: DataFrame,
+    id_col: str = "clip_id",
+    payload_col: str = "bytes",
+    codec_col: str = "codec",
+    min_corr: float = 0.95,
+    min_len_ratio: float = 0.98,
+) -> DataFrame:
+    """Decode candidate pairs and keep acoustic near-dups.
+
+    Gain-invariant gate: zero-lag normalized correlation over the
+    min-length prefix (SNR would reject a volume-normalized copy of the
+    same recording) plus a decoded-length ratio bound.  Payload
+    discipline: the DISTINCT candidate id list (id-only, small) is the
+    broadcast side of a semi-join against the clips scan, so the full
+    payload column never shuffles — only the fetched candidate rows
+    (~violation rate of the table) move, and they must move anyway to
+    meet their pair partner.  At Iceberg scale the same id list becomes
+    a bucket-pruned scan (``checks/audio.py`` fetch pattern).
+    """
+    ids = (
+        pairs.select(F.col("id_a").alias("pid"))
+        .unionAll(pairs.select(F.col("id_b").alias("pid")))
+        .distinct()
+    )
+    fetched = clips.select(
+        F.col(id_col).alias("pid"),
+        F.col(payload_col).alias("payload"),
+        F.col(codec_col).alias("codec"),
+    ).join(F.broadcast(ids), "pid")
+    both = (
+        pairs.join(
+            fetched.select(
+                F.col("pid").alias("id_a"),
+                F.col("payload").alias("payload_a"),
+                F.col("codec").alias("codec_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            fetched.select(
+                F.col("pid").alias("id_b"),
+                F.col("payload").alias("payload_b"),
+                F.col("codec").alias("codec_b"),
+            ),
+            "id_b",
+        )
+        .select("id_a", "id_b", "payload_a", "codec_a", "payload_b", "codec_b")
+    )
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            ida = b.column("id_a")
+            idb = b.column("id_b")
+            pa_ = b.column("payload_a")
+            pb_ = b.column("payload_b")
+            ca = b.column("codec_a").to_pylist()
+            cb = b.column("codec_b").to_pylist()
+            rows: list[tuple[str, str, float, float]] = []
+            for i in range(b.num_rows):
+                x = _decode_np(pa_[i].as_py(), ca[i])
+                y = _decode_np(pb_[i].as_py(), cb[i])
+                if x is None or y is None or len(x) == 0 or len(y) == 0:
+                    continue
+                m = min(len(x), len(y))
+                ratio = m / max(len(x), len(y))
+                xs = x[:m].astype(np.float64)
+                ys = y[:m].astype(np.float64)
+                nx, ny = np.linalg.norm(xs), np.linalg.norm(ys)
+                corr = float(np.dot(xs, ys) / (nx * ny)) if nx and ny else 0.0
+                rows.append((ida[i].as_py(), idb[i].as_py(), corr, ratio))
+            if rows:
+                cols = list(zip(*rows))
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(cols[0], type=pa.string()),
+                        pa.array(cols[1], type=pa.string()),
+                        pa.array(cols[2], type=pa.float64()),
+                        pa.array(cols[3], type=pa.float64()),
+                    ],
+                    names=["id_a", "id_b", "corr", "len_ratio"],
+                )
+
+    scored = both.mapInArrow(kernel, _VERIFY_SCHEMA)
+    return scored.where(
+        (F.col("corr") >= min_corr) & (F.col("len_ratio") >= min_len_ratio)
+    )
+
+
+def audio_duplicate_pairs(
+    clips: DataFrame,
+    id_col: str = "clip_id",
+    payload_col: str = "bytes",
+    codec_col: str = "codec",
+    n_frames: int = DEFAULT_FRAMES,
+    bands: int = DEFAULT_BANDS,
+    max_bucket_size: int | None = 1000,
+    min_corr: float = 0.95,
+    min_len_ratio: float = 0.98,
+) -> DataFrame:
+    """End-to-end acoustic near-dup pairs: fingerprint -> LSH buckets ->
+    pair-restricted PCM verification.  Feed the result to
+    :func:`..textops.dedup.duplicate_clusters` for keep-one-per-cluster
+    dedup — the components operator is modality-agnostic."""
+    fp = audio_fingerprints(
+        clips,
+        id_col=id_col,
+        payload_col=payload_col,
+        codec_col=codec_col,
+        n_frames=n_frames,
+        bands=bands,
+    )
+    cands = fingerprint_candidates(fp, max_bucket_size=max_bucket_size)
+    return verify_pairs_pcm(
+        cands,
+        clips,
+        id_col=id_col,
+        payload_col=payload_col,
+        codec_col=codec_col,
+        min_corr=min_corr,
+        min_len_ratio=min_len_ratio,
+    )

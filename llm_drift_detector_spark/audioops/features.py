@@ -1,0 +1,156 @@
+"""Per-clip PCM feature extraction + audio feature drift.
+
+The reference profiles only text/latency features
+(``data/processor.py:200-253``); at the audio tier the payload itself
+needs quality profiling — loudness, silence, clipping — both for
+filtering (drop silent/clipped clips from a training set) and for drift
+(a provider swapping its recording chain shifts RMS/ZCR long before
+transcripts change).
+
+Execution: one scan -> (salted repartition) -> mapInArrow decode pass
+per table; the emitted frame is a handful of doubles per clip, so every
+downstream consumer — the stats profiler, the fused drift detectors,
+filters — runs on ~100 B/row regardless of payload size.  Feature drift
+is therefore: this pass on ref + cur, then the existing ONE-JOB
+multi-feature detector (``drift/grouped.py::multi_feature_drift``) —
+N features cost one feature's shuffles, nothing new to optimize.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..checks.audio import _decode_np
+from ..drift.grouped import multi_feature_drift
+
+SILENCE_ABS = 1e-3    # |sample| below this counts as silence
+CLIP_ABS = 0.999      # |sample| at/above this counts as clipped
+
+FEATURE_COLS = (
+    "rms",
+    "peak",
+    "silence_ratio",
+    "clipping_ratio",
+    "zcr_per_s",
+    "duration_s",
+)
+
+_OUT_DDL = (
+    "clip_id string, decode_ok boolean, n_samples bigint, duration_s double, "
+    "rms double, peak double, silence_ratio double, clipping_ratio double, "
+    "zcr_per_s double"
+)
+
+
+def _features_np(pcm: np.ndarray, sr: int) -> tuple:
+    x = pcm.astype(np.float64)
+    n = len(x)
+    dur = n / sr if sr else float("nan")
+    ax = np.abs(x)
+    zc = int(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1])))
+    return (
+        n,
+        dur,
+        float(np.sqrt(np.mean(x * x))),
+        float(ax.max()),
+        float(np.mean(ax < SILENCE_ABS)),
+        float(np.mean(ax >= CLIP_ABS)),
+        (zc / dur) if dur and dur > 0 else float("nan"),
+    )
+
+
+def audio_features(
+    clips: DataFrame,
+    id_col: str = "clip_id",
+    payload_col: str = "bytes",
+    codec_col: str = "codec",
+    sr_col: str = "sr_hz",
+    salted: bool = True,
+    n_partitions: int | None = None,
+    salt: int = 29,
+) -> DataFrame:
+    """(clip_id, decode_ok, n_samples, duration_s, rms, peak,
+    silence_ratio, clipping_ratio, zcr_per_s) — one decode per clip.
+
+    Undecodable payloads emit ``decode_ok = false`` with null features
+    (kept, not dropped: a decode-failure RATE is itself a drift signal).
+    """
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            ids = b.column("id")
+            payloads = b.column("payload")
+            codecs_ = b.column("codec").to_pylist()
+            srs = b.column("sr").to_pylist()
+            rows = []
+            for i in range(b.num_rows):
+                pcm = _decode_np(payloads[i].as_py(), codecs_[i])
+                cid = ids[i].as_py()
+                if pcm is None or len(pcm) == 0:
+                    rows.append((cid, False) + (None,) * 7)
+                else:
+                    rows.append((cid, True) + _features_np(pcm, srs[i] or 0))
+            if rows:
+                cols = list(zip(*rows))
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(cols[0], type=pa.string()),
+                        pa.array(cols[1], type=pa.bool_()),
+                        pa.array(cols[2], type=pa.int64()),
+                        pa.array(cols[3], type=pa.float64()),
+                        pa.array(cols[4], type=pa.float64()),
+                        pa.array(cols[5], type=pa.float64()),
+                        pa.array(cols[6], type=pa.float64()),
+                        pa.array(cols[7], type=pa.float64()),
+                        pa.array(cols[8], type=pa.float64()),
+                    ],
+                    names=[
+                        "clip_id",
+                        "decode_ok",
+                        "n_samples",
+                        "duration_s",
+                        "rms",
+                        "peak",
+                        "silence_ratio",
+                        "clipping_ratio",
+                        "zcr_per_s",
+                    ],
+                )
+
+    src = clips.select(
+        F.col(id_col).alias("id"),
+        F.col(payload_col).alias("payload"),
+        F.col(codec_col).alias("codec"),
+        F.col(sr_col).alias("sr"),
+    )
+    if salted:
+        n = int(
+            n_partitions
+            or clips.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+        src = src.repartition(n, F.xxhash64("id", F.lit(salt)))
+    return src.mapInArrow(kernel, _OUT_DDL)
+
+
+def audio_feature_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    features: list[str] | None = None,
+    exact: bool = False,
+    **kwargs,
+) -> DataFrame:
+    """Distribution drift over decoded-PCM features, one row per feature.
+
+    Two decode passes (one per side) feed the existing stacked one-job
+    detector; decode failures are excluded from the distributions (their
+    rate is monitored by the validator, not the drift layer).
+    """
+    cols = list(features or FEATURE_COLS)
+    fref = audio_features(ref).where("decode_ok").select(*cols)
+    fcur = audio_features(cur).where("decode_ok").select(*cols)
+    return multi_feature_drift(fref, fcur, cols, exact=exact, **kwargs)

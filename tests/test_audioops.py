@@ -1,0 +1,213 @@
+"""Audio-modality dedup + feature extraction (audioops package)."""
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from llm_drift_detector_spark import codecs
+from llm_drift_detector_spark.synth.clips import make_pcm
+
+SR = 16000
+CLIPS_DDL = "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string"
+
+
+def _row(cid, pcm, codec, sr=SR):
+    return (
+        cid,
+        bytearray(codecs.encode(pcm, codec)),
+        sr,
+        int(round(len(pcm) * 1000.0 / sr)),
+        codec,
+    )
+
+
+@pytest.fixture(scope="module")
+def dup_clips(spark):
+    """Deterministic fixture: one recording in five guises + unrelated
+    clips.  Expected near-dup component: {a0..a4}; exact byte-dup
+    group: {a0, a4} only."""
+    base = make_pcm(7, 0, SR, SR)  # 1 s
+    rows = [
+        _row("a0", base, "pcm_s16le"),
+        _row("a1", base, "flac"),                      # re-encode, lossless
+        _row("a2", base, "opus"),                      # re-encode, lossy
+        _row("a3", (0.5 * base).astype(np.float32), "pcm_s16le"),  # re-gain
+    ]
+    rows.append(("a4",) + tuple(rows[0][1:]))          # bit-identical copy
+    for i in range(5, 25):                             # unrelated
+        n = SR + 137 * i
+        rows.append(_row(f"u{i}", make_pcm(7, i, SR, n), "pcm_s16le"))
+    return spark.createDataFrame(rows, CLIPS_DDL)
+
+
+def test_exact_duplicates_audio_bytes_only(dup_clips):
+    from llm_drift_detector_spark.audioops import exact_duplicates_audio
+
+    got = exact_duplicates_audio(dup_clips).collect()
+    # only the bit-identical pair groups; the flac/opus/gain copies of
+    # the same recording have different payload bytes
+    assert sorted(r.id for r in got) == ["a0", "a4"]
+    assert all(r.group_size == 2 for r in got)
+
+
+def test_fingerprints_invariant_to_codec_and_gain(dup_clips):
+    from llm_drift_detector_spark.audioops import audio_fingerprints
+
+    fp = audio_fingerprints(dup_clips).collect()
+    sigs = {}
+    for r in fp:
+        sigs.setdefault(r.id, {})[r.band] = r.band_sig
+    assert len(sigs["a0"]) == 8
+    # lossless re-encode and constant re-gain: every band identical
+    assert sigs["a1"] == sigs["a0"]
+    assert sigs["a3"] == sigs["a0"]
+    # lossy (mu-law) re-encode: quantization may flip near-tie bits, but
+    # most bands must survive — that's the LSH property near-dup
+    # recall rests on
+    shared = sum(sigs["a2"][b] == sigs["a0"][b] for b in range(8))
+    assert shared >= 4
+    # unrelated clips share no band with a0 (energy-delta bits are
+    # effectively iid coin flips; 16-bit bands make collisions ~2^-16)
+    for i in range(5, 25):
+        assert all(
+            sigs[f"u{i}"][b] != sigs["a0"][b] for b in range(8)
+        ), f"u{i} collides with a0"
+
+
+def test_audio_near_dup_pairs_and_clusters(dup_clips):
+    from llm_drift_detector_spark.audioops import audio_duplicate_pairs
+    from llm_drift_detector_spark.textops import duplicate_clusters
+
+    pairs = audio_duplicate_pairs(dup_clips)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    members = {x for p in got for x in p}
+    assert members == {"a0", "a1", "a2", "a3", "a4"}
+    labels = {
+        r.id: r.cluster_id for r in duplicate_clusters(pairs).collect()
+    }
+    assert labels == {k: "a0" for k in ["a0", "a1", "a2", "a3", "a4"]}
+
+
+def test_verify_gate_rejects_different_audio(spark, dup_clips):
+    """Even if a bucket collision proposed an unrelated pair, the PCM
+    correlation gate must reject it."""
+    from llm_drift_detector_spark.audioops import verify_pairs_pcm
+
+    forced = spark.createDataFrame(
+        [("a0", "u5"), ("a0", "a3"), ("u6", "u7")], "id_a string, id_b string"
+    )
+    got = verify_pairs_pcm(forced, dup_clips).collect()
+    assert [(r.id_a, r.id_b) for r in got] == [("a0", "a3")]
+    assert got[0].corr > 0.999  # gain-invariant: 0.5x copy correlates ~1
+
+
+def test_audio_features_match_numpy_oracle(spark, dup_clips):
+    from llm_drift_detector_spark.audioops import audio_features
+    from llm_drift_detector_spark.audioops.features import (
+        CLIP_ABS,
+        SILENCE_ABS,
+        _features_np,
+    )
+
+    feats = {r.clip_id: r for r in audio_features(dup_clips).collect()}
+    base = make_pcm(7, 0, SR, SR)
+    dec = codecs.decode(codecs.encode(base, "pcm_s16le"), "pcm_s16le")
+    n, dur, rms, peak, sil, clip_r, zcr = _features_np(dec, SR)
+    got = feats["a0"]
+    assert got.decode_ok and got.n_samples == SR
+    assert got.rms == pytest.approx(rms) and got.peak == pytest.approx(peak)
+    assert got.zcr_per_s == pytest.approx(zcr)
+    # cross-check one feature against a direct numpy computation
+    x = dec.astype(np.float64)
+    assert got.rms == pytest.approx(float(np.sqrt(np.mean(x * x))))
+    assert got.silence_ratio == pytest.approx(float(np.mean(np.abs(x) < SILENCE_ABS)))
+    assert got.clipping_ratio == pytest.approx(float(np.mean(np.abs(x) >= CLIP_ABS)))
+    # the re-gained copy halves rms but keeps zcr
+    assert feats["a3"].rms == pytest.approx(0.5 * got.rms, rel=1e-3)
+    assert feats["a3"].zcr_per_s == pytest.approx(got.zcr_per_s, rel=1e-3)
+
+
+def test_audio_features_decode_failure_rows(spark):
+    from llm_drift_detector_spark.audioops import audio_features
+
+    bad = spark.createDataFrame(
+        [("x0", bytearray(b"\x01\x02\x03"), SR, 10, "mp3_unknown")], CLIPS_DDL
+    )
+    got = audio_features(bad).collect()
+    assert len(got) == 1 and not got[0].decode_ok and got[0].rms is None
+
+
+def test_audio_feature_drift_detects_gain_shift(spark):
+    from llm_drift_detector_spark.audioops import audio_feature_drift
+
+    # per-clip amplitude spread: the rms distribution needs real width,
+    # else the histogram methods (JS/PSI) amplify sampling noise over a
+    # microscopic value range and over-trigger on identical windows
+    def amp(i):
+        return 0.4 + 0.6 * ((i * 37) % 97) / 97.0
+
+    ref_rows = [
+        _row(f"r{i}", (amp(i) * make_pcm(11, i, SR, SR // 2)).astype(np.float32),
+             "pcm_s16le")
+        for i in range(250)
+    ]
+    cur_same = [
+        _row(f"c{i}", (amp(i) * make_pcm(11, 1000 + i, SR, SR // 2)).astype(np.float32),
+             "pcm_s16le")
+        for i in range(250)
+    ]
+    cur_gain = [
+        _row(f"g{i}", (0.3 * amp(i) * make_pcm(11, 1000 + i, SR, SR // 2)).astype(np.float32),
+             "pcm_s16le")
+        for i in range(250)
+    ]
+    ref = spark.createDataFrame(ref_rows, CLIPS_DDL)
+    same = spark.createDataFrame(cur_same, CLIPS_DDL)
+    gained = spark.createDataFrame(cur_gain, CLIPS_DDL)
+
+    cols = ["rms", "zcr_per_s"]
+    calm = {r.feature: r for r in audio_feature_drift(ref, same, cols, exact=True).collect()}
+    hot = {r.feature: r for r in audio_feature_drift(ref, gained, cols, exact=True).collect()}
+    assert not calm["rms"].drift_detected
+    assert hot["rms"].drift_detected
+    # zcr is gain-invariant: it must stay calm in BOTH comparisons
+    assert not calm["zcr_per_s"].drift_detected
+    assert not hot["zcr_per_s"].drift_detected
+
+
+def test_fingerprint_shuffle_carries_no_payload(dup_clips):
+    """Scale property: payload bytes are consumed inside the scan->decode
+    stage; every exchange in the candidate plan moves only id/band/sig
+    rows."""
+    from llm_drift_detector_spark.audioops import (
+        audio_fingerprints,
+        fingerprint_candidates,
+    )
+
+    plan = (
+        fingerprint_candidates(audio_fingerprints(dup_clips))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "payload" not in line and "bytes" not in line
+
+
+def test_mega_bucket_salting_bounds_audio_pairs(spark):
+    """1000 identical silent clips -> one all-zero-signature bucket per
+    band; the cap must keep candidate pairs ~n*cap/2, not n^2/2."""
+    from llm_drift_detector_spark.audioops import (
+        audio_fingerprints,
+        fingerprint_candidates,
+    )
+
+    silent = np.zeros(SR // 4, dtype=np.float32)
+    rows = [_row(f"s{i:04d}", silent, "pcm_s16le") for i in range(600)]
+    df = spark.createDataFrame(rows, CLIPS_DDL)
+    fp = audio_fingerprints(df)
+    capped = fingerprint_candidates(fp, max_bucket_size=20).count()
+    # uncapped: C(600,2) = 179,700 distinct pairs; capped: <= 8 bands x
+    # 30 sub-buckets x C(20,2) = 45,600 (less after cross-band overlap)
+    assert 0 < capped <= 46_000
