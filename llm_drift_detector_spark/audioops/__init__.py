@@ -14,12 +14,13 @@ from .dedup import (
     fingerprint_candidates,
     verify_pairs_pcm,
 )
-from .features import audio_feature_drift, audio_features
+from .features import audio_feature_drift, audio_features, audio_quality_violations
 
 __all__ = [
     "audio_duplicate_pairs",
     "audio_feature_drift",
     "audio_features",
+    "audio_quality_violations",
     "audio_fingerprints",
     "exact_duplicates_audio",
     "fingerprint_candidates",

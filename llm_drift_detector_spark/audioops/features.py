@@ -137,6 +137,56 @@ def audio_features(
     return src.mapInArrow(kernel, _OUT_DDL)
 
 
+def audio_quality_violations(
+    clips: DataFrame,
+    max_silence_ratio: float | None = None,
+    max_clipping_ratio: float | None = None,
+    min_rms: float | None = None,
+    **feature_kwargs,
+) -> DataFrame:
+    """(clip_id, check_name='audio_quality', detail) rows for clips that
+    decode fine but are unusable as training data: silence-dominated,
+    clipped, or effectively empty.
+
+    A quality GATE, not a reference invariant — the validator's opt-in
+    check (``RunConfig.enabled_checks``); decode failures are excluded
+    here because ``dur_ms_mismatch`` owns them (disjoint classes, same
+    rule as the SNR check).  One decode pass; the filter and the detail
+    JSON are native expressions over the tiny feature frame.
+    """
+    from ..config import MAX_CLIPPING_RATIO, MAX_SILENCE_RATIO, MIN_RMS
+
+    max_sil = MAX_SILENCE_RATIO if max_silence_ratio is None else max_silence_ratio
+    max_clip = MAX_CLIPPING_RATIO if max_clipping_ratio is None else max_clipping_ratio
+    lo_rms = MIN_RMS if min_rms is None else min_rms
+
+    f = audio_features(clips, **feature_kwargs).where("decode_ok")
+    reasons = F.filter(
+        F.array(
+            F.when(F.col("silence_ratio") > max_sil, F.lit("silence")),
+            F.when(F.col("clipping_ratio") > max_clip, F.lit("clipping")),
+            F.when(F.col("rms") < lo_rms, F.lit("low_rms")),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return (
+        f.withColumn("reasons", reasons)
+        .where(F.size("reasons") > 0)
+        .select(
+            "clip_id",
+            F.lit("audio_quality").alias("check_name"),
+            F.to_json(
+                F.struct(
+                    F.col("reasons"),
+                    F.round("rms", 6).alias("rms"),
+                    F.round("silence_ratio", 6).alias("silence_ratio"),
+                    F.round("clipping_ratio", 6).alias("clipping_ratio"),
+                )
+            ).alias("detail"),
+        )
+    )
+
+
 def audio_feature_drift(
     ref: DataFrame,
     cur: DataFrame,

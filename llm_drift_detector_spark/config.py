@@ -45,6 +45,11 @@ CODEC_WHITELIST = ("pcm_s16le", "flac", "opus")
 SNR_DB_MIN = 30.0             # decoded-PCM allclose criterion
 DUR_MS_TOLERANCE = 1          # |dur_ms - samples*1000/sr| <= 1 ms
 
+# --- audio quality gates (opt-in check, not a reference invariant) ---
+MAX_SILENCE_RATIO = 0.9       # clip is mostly silence
+MAX_CLIPPING_RATIO = 0.01     # >1% samples at full scale
+MIN_RMS = 1e-4                # effectively-empty recording
+
 # --- scale knobs ---
 DEFAULT_SHUFFLE_PARTITIONS = 32
 SALT_BUCKETS = 32             # salt factor for clip_id repartitioning

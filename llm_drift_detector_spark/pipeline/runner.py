@@ -58,7 +58,13 @@ CHECK_VERSIONS = {
     "transcript_equality": "1.0",
     "dur_ms_mismatch": "1.0",
     "snr_allclose": "1.0",
+    "audio_quality": "1.0",
 }
+
+# quality GATES are policy, not reference invariants: they run only when
+# explicitly listed in enabled_checks (enabled_checks=None means "all
+# invariant checks", not these)
+OPT_IN_CHECKS = ("audio_quality",)
 
 
 @dataclass
@@ -92,6 +98,8 @@ class RunConfig:
     def check_active(self, name: str) -> bool:
         if name in self.disabled_checks:
             return False
+        if name in OPT_IN_CHECKS:
+            return self.enabled_checks is not None and name in self.enabled_checks
         return self.enabled_checks is None or name in self.enabled_checks
 
 
@@ -180,6 +188,17 @@ def _violations_for_group(
             )
             .where(F.col("check_name").isin(audio_checks))
             .select(
+                "check_name",
+                "clip_id",
+                "detail",
+                bucket_id("clip_id", cfg.n_buckets).alias("partition_id"),
+            )
+        )
+    if cfg.check_active("audio_quality"):
+        from ..audioops.features import audio_quality_violations
+
+        parts.append(
+            audio_quality_violations(clips_g, salt=cfg.salt).select(
                 "check_name",
                 "clip_id",
                 "detail",

@@ -175,6 +175,42 @@ def test_audio_feature_drift_detects_gain_shift(spark):
     assert not hot["zcr_per_s"].drift_detected
 
 
+def test_audio_quality_violations_and_opt_in_gate(spark):
+    from llm_drift_detector_spark.audioops import audio_quality_violations
+    from llm_drift_detector_spark.pipeline.runner import RunConfig, violations_frame
+
+    normal = make_pcm(13, 0, SR, SR // 2)
+    silent = np.zeros(SR // 2, dtype=np.float32)
+    silent[:100] = 0.5  # 100 loud samples, ~98.8% silence
+    clipped = np.ones(SR // 2, dtype=np.float32)
+    clipped[: SR // 4] = normal[: SR // 4]  # 50% full-scale
+    rows = [
+        _row("ok", normal, "pcm_s16le"),
+        _row("sil", silent, "pcm_s16le"),
+        _row("clip", clipped, "pcm_s16le"),
+        ("bad", bytearray(b"xx"), SR, 10, "mp3_unknown"),  # decode failure
+    ]
+    clips = spark.createDataFrame(rows, CLIPS_DDL)
+
+    got = {r.clip_id: r.detail for r in audio_quality_violations(clips).collect()}
+    assert set(got) == {"sil", "clip"}  # decode failure excluded by design
+    assert "silence" in got["sil"] and "clipping" in got["clip"]
+
+    # opt-in: the default config must NOT run the gate...
+    cfg = RunConfig(run_id="t", out_dir="/tmp/t")
+    assert not cfg.check_active("audio_quality")
+    empty_t = spark.createDataFrame([], "clip_id string, transcript string")
+    clips = clips.withColumn("transcript", F.lit("t"))  # full input_hint shape
+    base = violations_frame(clips, empty_t, clips, cfg=cfg)
+    assert base.where(F.col("check_name") == "audio_quality").count() == 0
+    # ...and an explicit enable runs exactly it
+    cfg_on = RunConfig(run_id="t", out_dir="/tmp/t", enabled_checks=("audio_quality",))
+    only = violations_frame(clips, empty_t, clips, cfg=cfg_on)
+    rows_on = only.collect()
+    assert {r.check_name for r in rows_on} == {"audio_quality"}
+    assert {r.clip_id for r in rows_on} == {"sil", "clip"}
+
+
 def test_fingerprint_shuffle_carries_no_payload(dup_clips):
     """Scale property: payload bytes are consumed inside the scan->decode
     stage; every exchange in the candidate plan moves only id/band/sig
