@@ -50,16 +50,21 @@ def stream_validate(
     run_id: str = "stream",
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    cfg: RunConfig | None = None,
 ):
     """Start (and with available_now=True, run to completion) a streaming
-    validation over a clips parquet directory.  Returns the query."""
+    validation over a clips parquet directory.  Returns the query.
+
+    ``cfg`` customizes check selection — every check that survives the
+    batch-local subset is streaming-safe, including the opt-in
+    ``audio_quality`` gate (its verdict is per-row)."""
     reader = spark.readStream.schema(CLIPS_DDL)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(clips_dir)
     sink = os.path.join(out_dir, "violations_stream")
     checkpoint = os.path.join(out_dir, "_stream_checkpoint")
-    cfg = RunConfig(run_id=run_id, out_dir=out_dir)
+    cfg = cfg or RunConfig(run_id=run_id, out_dir=out_dir)
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         # include_global=False: a micro-batch is a PARTIAL view of clips,

@@ -211,6 +211,29 @@ def test_audio_quality_violations_and_opt_in_gate(spark):
     assert {r.clip_id for r in rows_on} == {"sil", "clip"}
 
 
+def test_audio_quality_gate_runs_in_streaming(spark, tmp_path):
+    """The gate is per-row (batch-local), so it is streaming-safe: an
+    opt-in cfg routes it through stream_validate's micro-batches."""
+    from llm_drift_detector_spark.pipeline.runner import RunConfig
+    from llm_drift_detector_spark.streaming import stream_validate
+
+    silent = np.zeros(SR // 4, dtype=np.float32)
+    rows = [
+        _row("s0", silent, "pcm_s16le") + ("t",),
+        _row("n0", make_pcm(17, 0, SR, SR // 4), "pcm_s16le") + ("t",),
+    ]
+    ddl = CLIPS_DDL + ", transcript string"
+    src = str(tmp_path / "clips_src")
+    spark.createDataFrame(rows, ddl).write.parquet(src)
+    out = str(tmp_path / "stream_out")
+    empty_t = spark.createDataFrame([], "clip_id string, transcript string")
+    ref = spark.createDataFrame([], ddl)
+    cfg = RunConfig(run_id="sq", out_dir=out, enabled_checks=("audio_quality",))
+    stream_validate(spark, src, empty_t, ref, out, run_id="sq", cfg=cfg)
+    got = spark.read.parquet(f"{out}/violations_stream").collect()
+    assert [(r.check_name, r.clip_id) for r in got] == [("audio_quality", "s0")]
+
+
 def test_fingerprint_shuffle_carries_no_payload(dup_clips):
     """Scale property: payload bytes are consumed inside the scan->decode
     stage; every exchange in the candidate plan moves only id/band/sig
