@@ -192,15 +192,32 @@ def audio_feature_drift(
     cur: DataFrame,
     features: list[str] | None = None,
     exact: bool = False,
+    group_keys: list[str] | None = None,
+    id_col: str = "clip_id",
     **kwargs,
 ) -> DataFrame:
-    """Distribution drift over decoded-PCM features, one row per feature.
+    """Distribution drift over decoded-PCM features, one row per feature
+    (x group when ``group_keys`` names clip columns, e.g. codec or a
+    provider id — the whole per-group-per-feature sweep stays ONE job,
+    like the text-side detectors).
 
     Two decode passes (one per side) feed the existing stacked one-job
     detector; decode failures are excluded from the distributions (their
-    rate is monitored by the validator, not the drift layer).
+    rate is monitored by the validator, not the drift layer).  Group
+    columns rejoin the feature frame on the id — a key-projected join of
+    two slim frames, never payloads.
     """
     cols = list(features or FEATURE_COLS)
-    fref = audio_features(ref).where("decode_ok").select(*cols)
-    fcur = audio_features(cur).where("decode_ok").select(*cols)
-    return multi_feature_drift(fref, fcur, cols, exact=exact, **kwargs)
+    gk = list(group_keys or [])
+
+    def side(df: DataFrame) -> DataFrame:
+        f = audio_features(df, id_col=id_col).where("decode_ok")
+        if gk:
+            f = f.join(
+                df.select(F.col(id_col).alias("clip_id"), *gk), "clip_id"
+            )
+        return f.select(*gk, *cols)
+
+    return multi_feature_drift(
+        side(ref), side(cur), cols, exact=exact, group_keys=gk or None, **kwargs
+    )

@@ -175,6 +175,41 @@ def test_audio_feature_drift_detects_gain_shift(spark):
     assert not hot["zcr_per_s"].drift_detected
 
 
+def test_audio_feature_drift_per_group_one_job(spark):
+    """Per-(codec) feature drift in one stacked job: the gained codec's
+    rms drifts, the untouched codec stays calm — and zcr stays calm in
+    both groups."""
+    from llm_drift_detector_spark.audioops import audio_feature_drift
+
+    def amp(i):
+        return 0.4 + 0.6 * ((i * 41) % 89) / 89.0
+
+    def rows(prefix, off, gain_opus):
+        out = []
+        for i in range(120):
+            pcm = (amp(i) * make_pcm(19, off + i, SR, SR // 4)).astype(np.float32)
+            out.append(_row(f"{prefix}p{i}", pcm, "pcm_s16le"))
+            pcm2 = (amp(i) * make_pcm(19, off + 500 + i, SR, SR // 4))
+            out.append(
+                _row(f"{prefix}o{i}", (gain_opus * pcm2).astype(np.float32), "opus")
+            )
+        return out
+
+    ref = spark.createDataFrame(rows("r", 0, 1.0), CLIPS_DDL)
+    cur = spark.createDataFrame(rows("c", 2000, 0.3), CLIPS_DDL)
+    got = {
+        (r.codec, r.feature): r
+        for r in audio_feature_drift(
+            ref, cur, ["rms", "zcr_per_s"], exact=True, group_keys=["codec"]
+        ).collect()
+    }
+    assert len(got) == 4  # 2 codecs x 2 features, one job
+    assert got[("opus", "rms")].drift_detected
+    assert not got[("pcm_s16le", "rms")].drift_detected
+    assert not got[("opus", "zcr_per_s")].drift_detected
+    assert not got[("pcm_s16le", "zcr_per_s")].drift_detected
+
+
 def test_audio_quality_violations_and_opt_in_gate(spark):
     from llm_drift_detector_spark.audioops import audio_quality_violations
     from llm_drift_detector_spark.pipeline.runner import RunConfig, violations_frame
