@@ -10,6 +10,7 @@ small derived rows; payload bytes never enter an exchange.
 from .dedup import (
     audio_duplicate_pairs,
     audio_fingerprints,
+    deduplicate_audio,
     exact_duplicates_audio,
     fingerprint_candidates,
     verify_pairs_pcm,
@@ -22,6 +23,7 @@ __all__ = [
     "audio_features",
     "audio_quality_violations",
     "audio_fingerprints",
+    "deduplicate_audio",
     "exact_duplicates_audio",
     "fingerprint_candidates",
     "verify_pairs_pcm",

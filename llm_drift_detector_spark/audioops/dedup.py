@@ -274,6 +274,38 @@ def verify_pairs_pcm(
     )
 
 
+def deduplicate_audio(
+    clips: DataFrame,
+    id_col: str = "clip_id",
+    payload_col: str = "bytes",
+    codec_col: str = "codec",
+    **pair_kwargs,
+) -> DataFrame:
+    """Keep one clip per acoustic near-dup cluster (the min id — same
+    keep-rule as the text path).  Everything not in any cluster passes
+    through untouched.  The loser list is id-only and broadcast: a
+    broadcast anti-join never shuffles the payload-carrying clips side.
+    If the duplicate population outgrows broadcast size, drop the hint
+    and store both sides bucketed by ``id_col`` (storage-partitioned
+    join — still no payload exchange); a plain sort-merge anti-join
+    would shuffle payloads and is never the right plan here."""
+    from ..textops.dedup import duplicate_clusters
+
+    pairs = audio_duplicate_pairs(
+        clips,
+        id_col=id_col,
+        payload_col=payload_col,
+        codec_col=codec_col,
+        **pair_kwargs,
+    )
+    losers = (
+        duplicate_clusters(pairs)
+        .where(F.col("id") != F.col("cluster_id"))
+        .select(F.col("id").alias(id_col))
+    )
+    return clips.join(F.broadcast(losers), id_col, "left_anti")
+
+
 def audio_duplicate_pairs(
     clips: DataFrame,
     id_col: str = "clip_id",
@@ -289,6 +321,10 @@ def audio_duplicate_pairs(
     pair-restricted PCM verification.  Feed the result to
     :func:`..textops.dedup.duplicate_clusters` for keep-one-per-cluster
     dedup — the components operator is modality-agnostic."""
+    # persist the signature frame: it is ~tens of bytes/clip while the
+    # plan behind it decodes every payload in Python — the bucket-count
+    # aggregate, the bucket join, and the pair self-join each re-evaluate
+    # it otherwise (4 decode passes instead of 1)
     fp = audio_fingerprints(
         clips,
         id_col=id_col,
@@ -296,7 +332,7 @@ def audio_duplicate_pairs(
         codec_col=codec_col,
         n_frames=n_frames,
         bands=bands,
-    )
+    ).persist()
     cands = fingerprint_candidates(fp, max_bucket_size=max_bucket_size)
     return verify_pairs_pcm(
         cands,

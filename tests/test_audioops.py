@@ -88,6 +88,14 @@ def test_audio_near_dup_pairs_and_clusters(dup_clips):
     assert labels == {k: "a0" for k in ["a0", "a1", "a2", "a3", "a4"]}
 
 
+def test_deduplicate_audio_keeps_one_per_cluster(dup_clips):
+    from llm_drift_detector_spark.audioops import deduplicate_audio
+
+    kept = sorted(r.clip_id for r in deduplicate_audio(dup_clips).collect())
+    # a0..a4 collapse to a0 (min id); unrelated clips all survive
+    assert kept == sorted(["a0"] + [f"u{i}" for i in range(5, 25)])
+
+
 def test_verify_gate_rejects_different_audio(spark, dup_clips):
     """Even if a bucket collision proposed an unrelated pair, the PCM
     correlation gate must reject it."""
