@@ -49,7 +49,6 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from ..checks.audio import _decode_np
-from ..textops.dedup import candidate_pairs  # same (band, band_sig, id) shape
 
 DEFAULT_FRAMES = 129   # -> 128 delta bits
 DEFAULT_BANDS = 8      # -> 16 bits/band: P(random band collision) = 2^-16
@@ -164,7 +163,9 @@ def audio_fingerprints(
 
 
 def fingerprint_candidates(
-    fp: DataFrame, max_bucket_size: int | None = 1000
+    fp: DataFrame,
+    max_bucket_size: int | None = 64,
+    min_band_matches: int = 2,
 ) -> DataFrame:
     """Distinct candidate (id_a, id_b) pairs from fingerprint buckets.
 
@@ -174,6 +175,16 @@ def fingerprint_candidates(
     ceil(n/cap) sub-buckets by ``pmod(xxhash64(id, band), n_sub)``; the
     band participates so each band partitions the mega-bucket
     differently and components re-link through surviving pairs.
+
+    ``min_band_matches`` is LSH AND-OR amplification: a pair must
+    collide on >= this many bands.  A true re-encode/re-gain matches
+    nearly all 8 bands, so recall is untouched, but a chance band
+    collision must now happen TWICE — squaring the false-candidate
+    probability.  This is the difference between a bounded candidate
+    frame and a payload-fetch explosion on low-entropy corpora (pure
+    tones: clips whose frequencies nearly coincide share band bits
+    deterministically; measured at sf0.1, the 1-band OR rule produced
+    a >100 GB pair shuffle while >=2 bands stays candidate-sized).
     """
     counts = fp.groupBy("band", "band_sig").agg(F.count("*").alias("n"))
     joined = fp.join(counts.where(F.col("n") > 1), ["band", "band_sig"])
@@ -188,7 +199,18 @@ def fingerprint_candidates(
             ),
         ).otherwise(F.col("band_sig"))
         joined = joined.withColumn("band_sig", salted_sig)
-    return candidate_pairs(joined.select("band", "band_sig", "id"))
+    a = joined.select("band", "band_sig", F.col("id").alias("id_a"))
+    b = joined.select("band", "band_sig", F.col("id").alias("id_b"))
+    # each id holds ONE sig per band, so count(*) per pair == #bands
+    # on which the pair collides
+    return (
+        a.join(b, ["band", "band_sig"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("bands_matched"))
+        .where(F.col("bands_matched") >= min_band_matches)
+        .select("id_a", "id_b")
+    )
 
 
 _VERIFY_SCHEMA = (
@@ -325,7 +347,8 @@ def audio_duplicate_pairs(
     codec_col: str = "codec",
     n_frames: int = DEFAULT_FRAMES,
     bands: int = DEFAULT_BANDS,
-    max_bucket_size: int | None = 1000,
+    max_bucket_size: int | None = 64,
+    min_band_matches: int = 2,
     min_corr: float = 0.95,
     min_len_ratio: float = 0.98,
 ) -> DataFrame:
@@ -345,7 +368,9 @@ def audio_duplicate_pairs(
         n_frames=n_frames,
         bands=bands,
     ).persist()
-    cands = fingerprint_candidates(fp, max_bucket_size=max_bucket_size)
+    cands = fingerprint_candidates(
+        fp, max_bucket_size=max_bucket_size, min_band_matches=min_band_matches
+    )
     return verify_pairs_pcm(
         cands,
         clips,

@@ -308,8 +308,15 @@ def test_mega_bucket_salting_bounds_audio_pairs(spark):
     silent = np.zeros(SR // 4, dtype=np.float32)
     rows = [_row(f"s{i:04d}", silent, "pcm_s16le") for i in range(600)]
     df = spark.createDataFrame(rows, CLIPS_DDL)
-    fp = audio_fingerprints(df)
-    capped = fingerprint_candidates(fp, max_bucket_size=20).count()
+    fp = audio_fingerprints(df).persist()
+    capped = fingerprint_candidates(
+        fp, max_bucket_size=20, min_band_matches=1
+    ).count()
     # uncapped: C(600,2) = 179,700 distinct pairs; capped: <= 8 bands x
     # 30 sub-buckets x C(20,2) = 45,600 (less after cross-band overlap)
     assert 0 < capped <= 46_000
+    # AND-OR amplification: requiring >=2 matching (salted) bands cuts
+    # the mega-bucket candidates by roughly another order of magnitude
+    amplified = fingerprint_candidates(fp, max_bucket_size=20).count()
+    assert 0 < amplified < capped / 4
+    fp.unpersist()
