@@ -98,7 +98,10 @@ def _dup_update(
 
 
 def streaming_duplicate_clips(
-    df: DataFrame, key_col: str = "clip_id", n_state_buckets: int = 512
+    df: DataFrame,
+    key_col: str = "clip_id",
+    n_state_buckets: int = 512,
+    id_col: str | None = None,
 ) -> DataFrame:
     """GLOBAL uniqueness in continuous mode: flag every re-occurrence of
     a key across ALL micro-batches, exactly once per extra occurrence.
@@ -119,6 +122,13 @@ def streaming_duplicate_clips(
     First occurrence of a key is NOT emitted; the 2nd, 3rd, ... each
     emit one (clip_id) row in the trigger where they arrive — a
     duplicate split across micro-batches is flagged exactly once.
+
+    ``id_col`` (default: the key itself) names the column EMITTED for a
+    flagged row, decoupling dedup identity from the reported id:
+    ``key_col="bytes", id_col="clip_id"`` is cross-batch EXACT PAYLOAD
+    dedup for the audio tier — xxhash64 hashes the binary column
+    scan-side, so state and shuffle still carry 8 B per row, never
+    payloads.
     """
     import pyspark.sql.functions as F
 
@@ -126,7 +136,7 @@ def streaming_duplicate_clips(
         F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_state_buckets))
         .cast("int")
         .alias("bucket"),
-        F.col(key_col).cast("string").alias("clip_id"),
+        F.col(id_col or key_col).cast("string").alias("clip_id"),
         F.xxhash64(F.col(key_col)).alias("h"),
     )
     return prepared.groupBy("bucket").applyInPandasWithState(

@@ -115,3 +115,36 @@ def test_within_batch_duplicate_also_flagged(spark, tmp_path):
     q.awaitTermination()
     got = sorted(r.clip_id for r in spark.read.parquet(out).collect())
     assert got == ["x", "x"]
+
+
+def test_cross_batch_payload_duplicate_flagged(spark, tmp_path):
+    """key_col='bytes', id_col='clip_id': the SAME payload under two
+    different clip_ids, split across micro-batches, is flagged once by
+    its second clip_id — exact audio dedup in continuous mode."""
+    from llm_drift_detector_spark.streaming.stateful import streaming_duplicate_clips
+
+    src, out, cp = (str(tmp_path / d) for d in ("src", "out", "cp"))
+    pay_a, pay_b, pay_c = (bytearray(p) for p in (b"\x01\x02" * 50, b"\x03\x04" * 50, b"\x05\x06" * 50))
+    b1 = [("c1", pay_a), ("c2", pay_b)]
+    b2 = [("c3", pay_a), ("c4", pay_c)]  # c3 re-uses payload A
+    for i, b in enumerate((b1, b2), 1):
+        spark.createDataFrame(b, "clip_id string, bytes binary").coalesce(1).write.parquet(
+            f"{src}/batch={i}"
+        )
+    stream = (
+        spark.readStream.schema("clip_id string, bytes binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/batch=*")
+    )
+    q = (
+        streaming_duplicate_clips(stream, key_col="bytes", id_col="clip_id")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", cp)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(r.clip_id for r in spark.read.parquet(out).collect())
+    assert got == ["c3"]
