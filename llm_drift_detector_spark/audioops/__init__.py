@@ -16,6 +16,7 @@ from .dedup import (
     verify_pairs_pcm,
 )
 from .features import audio_feature_drift, audio_features, audio_quality_violations
+from .retrieval import audio_topk
 
 __all__ = [
     "audio_duplicate_pairs",
@@ -23,6 +24,7 @@ __all__ = [
     "audio_features",
     "audio_quality_violations",
     "audio_fingerprints",
+    "audio_topk",
     "deduplicate_audio",
     "exact_duplicates_audio",
     "fingerprint_candidates",

@@ -109,6 +109,25 @@ def test_verify_gate_rejects_different_audio(spark, dup_clips):
     assert got[0].corr > 0.999  # gain-invariant: 0.5x copy correlates ~1
 
 
+def test_audio_topk_finds_reencoded_query(spark, dup_clips):
+    """Query with an OPUS re-encode of a0's recording at a different
+    gain: every stored guise of that recording ranks above every
+    unrelated clip, corr-descending."""
+    from llm_drift_detector_spark.audioops import audio_topk
+
+    base = make_pcm(7, 0, SR, SR)
+    query = codecs.encode((0.7 * base).astype(np.float32), "opus")
+    got = audio_topk(dup_clips, query, "opus", k=10, min_corr=0.9).collect()
+    ids = [r.clip_id for r in got]
+    assert set(ids) == {"a0", "a1", "a2", "a3", "a4"}
+    assert all(r.corr > 0.99 for r in got)
+    assert all(r.bands_matched >= 1 for r in got)
+
+    # an unrelated query matches nothing above the corr gate
+    other = codecs.encode(make_pcm(99, 1, SR, SR), "pcm_s16le")
+    assert audio_topk(dup_clips, other, "pcm_s16le", k=5, min_corr=0.9).count() == 0
+
+
 def test_audio_features_match_numpy_oracle(spark, dup_clips):
     from llm_drift_detector_spark.audioops import audio_features
     from llm_drift_detector_spark.audioops.features import (
