@@ -226,29 +226,40 @@ def verify_pairs_pcm(
     codec_col: str = "codec",
     min_corr: float = 0.95,
     min_len_ratio: float = 0.98,
+    max_fetch_ids: int = 1_000,
 ) -> DataFrame:
     """Decode candidate pairs and keep acoustic near-dups.
 
     Gain-invariant gate: zero-lag normalized correlation over the
     min-length prefix (SNR would reject a volume-normalized copy of the
     same recording) plus a decoded-length ratio bound.  Payload
-    discipline: the DISTINCT candidate id list (id-only, small) is the
-    broadcast side of a semi-join against the clips scan, so the full
-    payload column never shuffles — only the fetched candidate rows
-    (~violation rate of the table) move, and they must move anyway to
-    meet their pair partner.  At Iceberg scale the same id list becomes
-    a bucket-pruned scan (``checks/audio.py`` fetch pattern).
+    discipline matches the validator's targeted fetch
+    (``checks/audio.py:328-357``): when the distinct candidate id set is
+    small (<= ``max_fetch_ids`` = the session's parquet In-pushdown
+    threshold) it is collected and pushed as an ``isin`` literal so the
+    payload scan prunes to the row groups holding candidates; larger
+    sets fall back to an id-only broadcast semi-join (a post-scan
+    filter, but still no payload shuffle).  Either way only fetched
+    candidate rows move, and they must move anyway to meet their pair
+    partner.  At Iceberg scale the id list becomes a bucket-pruned scan.
     """
     ids = (
         pairs.select(F.col("id_a").alias("pid"))
         .unionAll(pairs.select(F.col("id_b").alias("pid")))
         .distinct()
     )
-    fetched = clips.select(
+    payload_proj = clips.select(
         F.col(id_col).alias("pid"),
         F.col(payload_col).alias("payload"),
         F.col(codec_col).alias("codec"),
-    ).join(F.broadcast(ids), "pid")
+    )
+    id_rows = ids.limit(max_fetch_ids + 1).collect()
+    if len(id_rows) <= max_fetch_ids:
+        fetched = payload_proj.where(
+            F.col("pid").isin([r.pid for r in id_rows])
+        )
+    else:
+        fetched = payload_proj.join(F.broadcast(ids), "pid")
     both = (
         pairs.join(
             fetched.select(

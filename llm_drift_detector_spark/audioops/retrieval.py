@@ -103,11 +103,29 @@ def audio_topk(
         .where(F.col("bands_matched") >= min_band_matches)
     )
 
-    fetched = clips.select(
+    payload_proj = clips.select(
         F.col(id_col).alias("id"),
         F.col(payload_col).alias("payload"),
         F.col(codec_col).alias("codec"),
-    ).join(F.broadcast(cand_ids), "id")
+    )
+    # targeted fetch (checks/audio.py:328-357): a per-query candidate
+    # set is tiny, so push the collected ids into the scan as an isin
+    # literal (row-group pruning); the bands_matched column rejoins via
+    # broadcast against the already-pruned rows
+    cand_rows = cand_ids.limit(1_001).collect()
+    if len(cand_rows) <= 1_000:
+        fetched = payload_proj.where(
+            F.col("id").isin([r.id for r in cand_rows])
+        ).join(
+            F.broadcast(
+                clips.sparkSession.createDataFrame(
+                    cand_rows, "id string, bands_matched bigint"
+                )
+            ),
+            "id",
+        )
+    else:
+        fetched = payload_proj.join(F.broadcast(cand_ids), "id")
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         qn = np.linalg.norm(qpcm)

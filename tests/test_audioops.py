@@ -316,6 +316,29 @@ def test_fingerprint_shuffle_carries_no_payload(dup_clips):
             assert "payload" not in line and "bytes" not in line
 
 
+def test_near_dup_fetch_pushes_ids_into_scan(spark, dup_clips, tmp_path):
+    """The pair-verify payload fetch must reach the parquet scan as a
+    pushed In(clip_id, ...) filter (row-group pruning), mirroring the
+    validator's targeted fetch."""
+    from llm_drift_detector_spark.audioops import verify_pairs_pcm
+
+    path = str(tmp_path / "clips_pq")
+    dup_clips.write.parquet(path)
+    clips = spark.read.parquet(path)
+    forced = spark.createDataFrame(
+        [("a0", "a3"), ("a1", "a4")], "id_a string, id_b string"
+    )
+    plan = (
+        verify_pairs_pcm(forced, clips)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters")[1][:300]
+    assert "clip_id" in pushed and ("In(" in pushed or "in(" in pushed)
+
+
 def test_mega_bucket_salting_bounds_audio_pairs(spark):
     """1000 identical silent clips -> one all-zero-signature bucket per
     band; the cap must keep candidate pairs ~n*cap/2, not n^2/2."""
