@@ -1,0 +1,104 @@
+"""spark-submit entry point: acoustic dedup of a clips table.
+
+Usage (cluster or local):
+
+    python tools/build_package.py   # -> dist/llm_drift_detector_spark.zip
+    spark-submit --py-files dist/llm_drift_detector_spark.zip \
+        jobs/dedup_audio.py \
+        --clips <path-or-table> --out /path/to/dedup-output \
+        [--mode near|exact] [--min-corr 0.95] [--min-band-matches 2] \
+        [--max-bucket-size 64] [--keep-clips]
+
+Writes to --out:
+
+- ``pairs/``     verified near-dup pairs (id_a, id_b, corr, len_ratio)
+                 (near mode) or exact-dup membership rows (exact mode)
+- ``clusters/``  (id, cluster_id) connected components (near mode)
+- ``kept/``      the deduplicated clips table (only with --keep-clips —
+                 it rewrites payloads, the one stage that moves bytes)
+
+Prints one JSON summary line.  Inputs may be parquet paths or catalog
+tables (``table:<name>`` prefix, e.g. Iceberg).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _load(spark, spec: str):
+    if spec.startswith("table:"):
+        return spark.read.table(spec[len("table:"):])
+    return spark.read.parquet(spec)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--clips", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--mode", default="near", choices=("near", "exact"))
+    p.add_argument("--min-corr", type=float, default=0.95)
+    p.add_argument("--min-len-ratio", type=float, default=0.98)
+    p.add_argument("--min-band-matches", type=int, default=2)
+    p.add_argument("--max-bucket-size", type=int, default=64)
+    p.add_argument(
+        "--keep-clips", action="store_true",
+        help="also write the deduplicated clips table (rewrites payloads)",
+    )
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("dedup-audio").getOrCreate()
+    clips = _load(spark, args.clips)
+    summary: dict = {"mode": args.mode, "clips": args.clips}
+
+    if args.mode == "exact":
+        from llm_drift_detector_spark.audioops import exact_duplicates_audio
+
+        dups = exact_duplicates_audio(clips)
+        dups.write.mode("overwrite").parquet(os.path.join(args.out, "pairs"))
+        summary["dup_rows"] = spark.read.parquet(
+            os.path.join(args.out, "pairs")
+        ).count()
+    else:
+        from llm_drift_detector_spark.audioops import audio_duplicate_pairs
+        from llm_drift_detector_spark.textops import duplicate_clusters
+
+        pairs = audio_duplicate_pairs(
+            clips,
+            max_bucket_size=args.max_bucket_size,
+            min_band_matches=args.min_band_matches,
+            min_corr=args.min_corr,
+            min_len_ratio=args.min_len_ratio,
+        ).persist()
+        pairs.write.mode("overwrite").parquet(os.path.join(args.out, "pairs"))
+        clusters = duplicate_clusters(pairs)
+        clusters.write.mode("overwrite").parquet(os.path.join(args.out, "clusters"))
+        summary["pairs"] = pairs.count()
+        summary["cluster_members"] = spark.read.parquet(
+            os.path.join(args.out, "clusters")
+        ).count()
+        if args.keep_clips:
+            import pyspark.sql.functions as F
+
+            losers = (
+                spark.read.parquet(os.path.join(args.out, "clusters"))
+                .where(F.col("id") != F.col("cluster_id"))
+                .select(F.col("id").alias("clip_id"))
+            )
+            kept = clips.join(F.broadcast(losers), "clip_id", "left_anti")
+            kept.write.mode("overwrite").parquet(os.path.join(args.out, "kept"))
+            summary["kept"] = spark.read.parquet(
+                os.path.join(args.out, "kept")
+            ).count()
+
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

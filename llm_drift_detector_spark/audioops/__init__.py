@@ -13,6 +13,7 @@ from .dedup import (
     deduplicate_audio,
     exact_duplicates_audio,
     fingerprint_candidates,
+    fingerprint_identical_pairs,
     verify_pairs_pcm,
 )
 from .features import audio_feature_drift, audio_features, audio_quality_violations
@@ -28,5 +29,6 @@ __all__ = [
     "deduplicate_audio",
     "exact_duplicates_audio",
     "fingerprint_candidates",
+    "fingerprint_identical_pairs",
     "verify_pairs_pcm",
 ]

@@ -218,6 +218,45 @@ _VERIFY_SCHEMA = (
 )
 
 
+def fingerprint_identical_pairs(fp: DataFrame) -> DataFrame:
+    """Star pairs (group-min id, id) for clips whose FULL fingerprint —
+    all bands concatenated — is identical.
+
+    Closes the recall hole that banded candidates + mega-bucket salting
+    open: the salt is ``xxhash64(id, band)``, so two IDENTICAL clips
+    inside an oversized bucket co-bucket on any given band only with
+    probability 1/n_sub, and with ``min_band_matches >= 2`` a specific
+    pair survives only ~C(bands,2)/n_sub^2 of the time — connectivity of
+    an identical-content cluster becomes probabilistic instead of
+    guaranteed.  Identical-signature groups need no LSH at all: one
+    groupBy to the full signature, one min-id join, and each member
+    star-pairs to the group min — LINEAR in group size (never
+    quadratic, even for a billion silent clips), deterministic
+    single-component connectivity, and the pairs still flow through PCM
+    verification like any candidate.  (Duplicates that share the same
+    id — ingestion replays — are the UNIQUENESS check's domain, not
+    dedup's: pairs here require ``id_a < id_b``.)
+    """
+    full = fp.groupBy("id").agg(
+        F.concat_ws(
+            "|",
+            F.array_sort(
+                F.collect_list(
+                    F.concat_ws(":", F.col("band").cast("string"), F.col("band_sig"))
+                )
+            ),
+        ).alias("fsig")
+    )
+    mins = full.groupBy("fsig").agg(
+        F.min("id").alias("id_a"), F.count("*").alias("n")
+    )
+    return (
+        full.join(mins.where(F.col("n") > 1), "fsig")
+        .where(F.col("id") != F.col("id_a"))
+        .select("id_a", F.col("id").alias("id_b"))
+    )
+
+
 def verify_pairs_pcm(
     pairs: DataFrame,
     clips: DataFrame,
@@ -379,8 +418,19 @@ def audio_duplicate_pairs(
         n_frames=n_frames,
         bands=bands,
     ).persist()
-    cands = fingerprint_candidates(
-        fp, max_bucket_size=max_bucket_size, min_band_matches=min_band_matches
+    # persist the candidate frame as well: verify's targeted-fetch id
+    # collect materializes it at plan-build time, and the returned
+    # frame's joins would otherwise re-run the whole pair machinery
+    # (the expensive stage on skewed corpora) at action time.
+    # Banded LSH candidates UNION the identical-signature star pairs —
+    # the latter restore recall for clips the salting separates.
+    cands = (
+        fingerprint_candidates(
+            fp, max_bucket_size=max_bucket_size, min_band_matches=min_band_matches
+        )
+        .unionByName(fingerprint_identical_pairs(fp))
+        .distinct()
+        .persist()
     )
     return verify_pairs_pcm(
         cands,

@@ -362,3 +362,29 @@ def test_mega_bucket_salting_bounds_audio_pairs(spark):
     amplified = fingerprint_candidates(fp, max_bucket_size=20).count()
     assert 0 < amplified < capped / 4
     fp.unpersist()
+
+
+def test_identical_clips_survive_mega_bucket_salting(spark):
+    """200 identical clips with a tiny bucket cap: banded candidates
+    alone would scatter them across per-band sub-buckets (>=2-band rule
+    then drops most pairs), but the identical-signature star pairs must
+    still collapse ALL of them into one cluster."""
+    from llm_drift_detector_spark.audioops import audio_duplicate_pairs
+    from llm_drift_detector_spark.textops import duplicate_clusters
+
+    from llm_drift_detector_spark.audioops import (
+        audio_fingerprints,
+        fingerprint_identical_pairs,
+    )
+
+    pcm = make_pcm(23, 0, SR, SR // 4)
+    rows = [_row(f"d{i:03d}", pcm, "pcm_s16le") for i in range(200)]
+    clips = spark.createDataFrame(rows, CLIPS_DDL)
+    # the star pairs alone give DETERMINISTIC one-component connectivity
+    # (banded pairs under salting only connect probabilistically)
+    stars = fingerprint_identical_pairs(audio_fingerprints(clips)).collect()
+    assert len(stars) == 199 and all(r.id_a == "d000" for r in stars)
+    pairs = audio_duplicate_pairs(clips, max_bucket_size=10)
+    labels = {r.id: r.cluster_id for r in duplicate_clusters(pairs).collect()}
+    assert len(labels) == 200
+    assert set(labels.values()) == {"d000"}
