@@ -59,12 +59,13 @@ CHECK_VERSIONS = {
     "dur_ms_mismatch": "1.0",
     "snr_allclose": "1.0",
     "audio_quality": "1.0",
+    "payload_duplicate": "1.0",
 }
 
 # quality GATES are policy, not reference invariants: they run only when
 # explicitly listed in enabled_checks (enabled_checks=None means "all
 # invariant checks", not these)
-OPT_IN_CHECKS = ("audio_quality",)
+OPT_IN_CHECKS = ("audio_quality", "payload_duplicate")
 
 
 @dataclass
@@ -203,6 +204,31 @@ def _violations_for_group(
                 "clip_id",
                 "detail",
                 bucket_id("clip_id", cfg.n_buckets).alias("partition_id"),
+            )
+        )
+    if include_global and cfg.check_active("payload_duplicate"):
+        # same audio bytes under a DIFFERENT clip_id — the payload-level
+        # complement of id-level uniqueness (opt-in gate; global because
+        # the pair may straddle buckets, like transcript-orphans)
+        from pyspark.sql import Window
+
+        from ..audioops.dedup import exact_duplicates_audio
+
+        dup = (
+            exact_duplicates_audio(clips_g)
+            .withColumn(
+                "keeper", F.min("id").over(Window.partitionBy("dup_group"))
+            )
+            .where(F.col("id") != F.col("keeper"))
+        )
+        parts.append(
+            dup.select(
+                F.lit("payload_duplicate").alias("check_name"),
+                F.col("id").alias("clip_id"),
+                F.to_json(F.struct(F.col("dup_group"), F.col("group_size"))).alias(
+                    "detail"
+                ),
+                bucket_id(F.col("id"), cfg.n_buckets).alias("partition_id"),
             )
         )
     if not parts:

@@ -273,6 +273,29 @@ def test_audio_quality_violations_and_opt_in_gate(spark):
     assert {r.clip_id for r in rows_on} == {"sil", "clip"}
 
 
+def test_payload_duplicate_opt_in_check(spark):
+    """Same bytes under two clip_ids: the opt-in payload_duplicate check
+    flags the non-keeper id; the default config never runs it."""
+    from llm_drift_detector_spark.pipeline.runner import RunConfig, violations_frame
+
+    pcm = make_pcm(31, 0, SR, SR // 4)
+    rows = [
+        _row("k0", pcm, "pcm_s16le") + ("t",),
+        ("k1",) + tuple(_row("k0", pcm, "pcm_s16le")[1:]) + ("t",),  # same bytes
+        _row("k2", make_pcm(31, 1, SR, SR // 4), "pcm_s16le") + ("t",),
+    ]
+    clips = spark.createDataFrame(rows, CLIPS_DDL + ", transcript string")
+    empty_t = spark.createDataFrame([], "clip_id string, transcript string")
+
+    cfg_off = RunConfig(run_id="p", out_dir="/tmp/p")
+    assert not cfg_off.check_active("payload_duplicate")
+    cfg_on = RunConfig(
+        run_id="p", out_dir="/tmp/p", enabled_checks=("payload_duplicate",)
+    )
+    got = violations_frame(clips, empty_t, clips, cfg=cfg_on).collect()
+    assert [(r.check_name, r.clip_id) for r in got] == [("payload_duplicate", "k1")]
+
+
 def test_audio_quality_gate_runs_in_streaming(spark, tmp_path):
     """The gate is per-row (batch-local), so it is streaming-safe: an
     opt-in cfg routes it through stream_validate's micro-batches."""
