@@ -16,19 +16,29 @@ from .dedup import (
     fingerprint_identical_pairs,
     verify_pairs_pcm,
 )
+from .containment import (
+    audio_containment_pairs,
+    audio_spectral_shingles,
+    spectral_candidates,
+    verify_containment_pairs,
+)
 from .features import audio_feature_drift, audio_features, audio_quality_violations
 from .retrieval import audio_topk
 
 __all__ = [
+    "audio_containment_pairs",
     "audio_duplicate_pairs",
     "audio_feature_drift",
     "audio_features",
     "audio_quality_violations",
+    "audio_spectral_shingles",
     "audio_fingerprints",
     "audio_topk",
     "deduplicate_audio",
     "exact_duplicates_audio",
     "fingerprint_candidates",
     "fingerprint_identical_pairs",
+    "spectral_candidates",
+    "verify_containment_pairs",
     "verify_pairs_pcm",
 ]

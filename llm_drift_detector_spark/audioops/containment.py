@@ -1,0 +1,304 @@
+"""Time-shift-robust near-dup: trimmed / offset copies.
+
+The whole-clip fingerprint (``.dedup``) is defeated by a trim: cutting
+N samples off the front shifts every energy frame.  This module detects
+"clip B is a (re-encoded, re-gained) SEGMENT of clip A" — the re-cut /
+concatenation duplication mode — with machinery that is invariant to
+sample offset:
+
+- **Candidates: spectral-peak signatures.**  Per 4096-sample window
+  (hop = half window): Hann -> |rfft| -> top-3 peak bins, quantized in
+  ABSOLUTE Hz (so differing sample rates of the same recording still
+  collide).  A window's dominant frequencies don't care where the
+  window grid falls, so a copy trimmed at ANY offset shares signatures
+  with its source (verified against energy-delta anchor schemes, which
+  lose alignment on grid shift).  Clips sharing >= ``min_shared``
+  signatures are candidates; the frame shuffles only (id, sig) rows.
+- **Verification: best-lag normalized correlation via FFT.**  One
+  rfft/irfft cross-correlation per candidate pair gives the correlation
+  at EVERY lag in O((n+m) log(n+m)); per-lag overlap norms come from
+  two cumulative sums, so the reported corr is the true normalized
+  correlation of the overlapping segments at the best lag — exact for
+  a verbatim slice (corr = 1, lag = the trim offset).
+
+Scale shape: signatures are computed scan-side in one decode pass
+(payloads never shuffle); candidate volume is bounded by signature
+bucket sizes with the same salting guard as the banded path; pair
+verification fetches only candidate payloads (targeted In-pushdown /
+broadcast fallback, as in ``.dedup.verify_pairs_pcm``).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..checks.audio import _decode_np
+
+SPECTRAL_WINDOW_S = 0.25  # analysis window in SECONDS (sr-independent
+                          # coverage: a fixed sample count is 512 ms at
+                          # 8 kHz but 85 ms at 48 kHz, and the same
+                          # recording at two rates would never collide)
+SPECTRAL_TOPK = 3         # peak bins per window
+FREQ_QUANT_HZ = 8.0       # absolute-Hz quantization of peak frequencies
+
+
+def _spectral_sigs(pcm: np.ndarray, sr: int) -> set[str]:
+    """Shift-invariant signature set for one decoded clip."""
+    if not sr:
+        return set()
+    w = int(sr * SPECTRAL_WINDOW_S)
+    n = len(pcm)
+    if n < w or w < 8:
+        return set()
+    x = pcm.astype(np.float64)
+    nfft = 1 << (w - 1).bit_length()  # zero-pad to pow2 for FFT speed
+    hann = np.hanning(w)
+    sigs: set[str] = set()
+    for start in range(0, n - w + 1, w // 2):
+        mag = np.abs(np.fft.rfft(x[start : start + w] * hann, nfft))
+        peaks = np.argsort(mag)[-SPECTRAL_TOPK:]
+        qf = sorted(
+            int(round(p * sr / nfft / FREQ_QUANT_HZ)) for p in peaks
+        )
+        sigs.add("-".join(str(q) for q in qf))
+    return sigs
+
+
+def audio_spectral_shingles(
+    clips: DataFrame,
+    id_col: str = "clip_id",
+    payload_col: str = "bytes",
+    codec_col: str = "codec",
+    sr_col: str = "sr_hz",
+    salted: bool = True,
+    n_partitions: int | None = None,
+    salt: int = 41,
+) -> DataFrame:
+    """(id, sig) distinct spectral signatures, decoded scan-side."""
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            ids = b.column("id")
+            payloads = b.column("payload")
+            codecs_ = b.column("codec").to_pylist()
+            srs = b.column("sr").to_pylist()
+            out_id: list[str] = []
+            out_sig: list[str] = []
+            for i in range(b.num_rows):
+                pcm = _decode_np(payloads[i].as_py(), codecs_[i])
+                if pcm is None:
+                    continue
+                cid = ids[i].as_py()
+                for sig in _spectral_sigs(pcm, srs[i] or 0):
+                    out_id.append(cid)
+                    out_sig.append(sig)
+            if out_id:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(out_id, type=pa.string()),
+                        pa.array(out_sig, type=pa.string()),
+                    ],
+                    names=["id", "sig"],
+                )
+
+    src = clips.select(
+        F.col(id_col).alias("id"),
+        F.col(payload_col).alias("payload"),
+        F.col(codec_col).alias("codec"),
+        F.col(sr_col).alias("sr"),
+    )
+    if salted:
+        n = int(
+            n_partitions
+            or clips.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+        src = src.repartition(n, F.xxhash64("id", F.lit(salt)))
+    return src.mapInArrow(kernel, "id string, sig string")
+
+
+def spectral_candidates(
+    sh: DataFrame,
+    min_shared: int = 1,
+    max_bucket_size: int | None = 64,
+) -> DataFrame:
+    """(id_a, id_b) pairs sharing >= min_shared spectral signatures —
+    same bucket-count filter + mega-bucket salting as the banded path
+    (a single dominant frequency shared corpus-wide is the silence/tone
+    mega-bucket all over again)."""
+    counts = sh.groupBy("sig").agg(F.count("*").alias("n"))
+    joined = sh.join(counts.where(F.col("n") > 1), "sig")
+    if max_bucket_size:
+        n_sub = F.ceil(F.col("n") / max_bucket_size).cast("bigint")
+        salted_sig = F.when(
+            F.col("n") > max_bucket_size,
+            F.concat_ws(
+                "#",
+                F.col("sig"),
+                F.pmod(F.xxhash64("id"), n_sub).cast("string"),
+            ),
+        ).otherwise(F.col("sig"))
+        joined = joined.withColumn("sig", salted_sig)
+    a = joined.select("sig", F.col("id").alias("id_a"))
+    b = joined.select("sig", F.col("id").alias("id_b"))
+    return (
+        a.join(b, "sig")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared_sigs"))
+        .where(F.col("shared_sigs") >= min_shared)
+        .select("id_a", "id_b")
+    )
+
+
+def _best_offset_corr(
+    a: np.ndarray, b: np.ndarray, min_overlap: int
+) -> tuple[float, int, int]:
+    """(corr, lag, overlap): normalized correlation of the overlapping
+    segments at the best lag, via one FFT cross-correlation.  lag k
+    means b[0] aligns with a[k] (b is a slice of a at offset lag when
+    corr ~ 1)."""
+    la, lb = len(a), len(b)
+    nfft = 1 << int(la + lb - 1).bit_length()
+    fa = np.fft.rfft(a, nfft)
+    fb = np.fft.rfft(b, nfft)
+    xc = np.fft.irfft(fa * np.conj(fb), nfft)
+    lags = np.concatenate([np.arange(0, la), np.arange(-(lb - 1), 0)])
+    vals = np.concatenate([xc[:la], xc[nfft - (lb - 1) :]])
+    ca = np.concatenate([[0.0], np.cumsum(a * a)])
+    cb = np.concatenate([[0.0], np.cumsum(b * b)])
+    k = lags
+    a_lo = np.maximum(0, k)
+    a_hi = np.minimum(la, lb + k)
+    b_lo = np.maximum(0, -k)
+    b_hi = np.minimum(lb, la - k)
+    overlap = a_hi - a_lo
+    na = ca[a_hi] - ca[a_lo]
+    nb = cb[b_hi] - cb[b_lo]
+    denom = np.sqrt(na * nb)
+    valid = (overlap >= min_overlap) & (denom > 0)
+    corr = np.where(valid, vals / np.maximum(denom, 1e-300), -np.inf)
+    i = int(np.argmax(corr))
+    return float(corr[i]), int(lags[i]), int(overlap[i])
+
+
+def verify_containment_pairs(
+    pairs: DataFrame,
+    clips: DataFrame,
+    id_col: str = "clip_id",
+    payload_col: str = "bytes",
+    codec_col: str = "codec",
+    sr_col: str = "sr_hz",
+    min_corr: float = 0.9,
+    min_overlap_s: float = 0.25,
+    max_fetch_ids: int = 1_000,
+) -> DataFrame:
+    """(id_a, id_b, corr, lag_samples, overlap_s) for candidate pairs
+    whose best-lag overlapping correlation passes the gates."""
+    ids = (
+        pairs.select(F.col("id_a").alias("pid"))
+        .unionAll(pairs.select(F.col("id_b").alias("pid")))
+        .distinct()
+    )
+    payload_proj = clips.select(
+        F.col(id_col).alias("pid"),
+        F.col(payload_col).alias("payload"),
+        F.col(codec_col).alias("codec"),
+        F.col(sr_col).alias("sr"),
+    )
+    id_rows = ids.limit(max_fetch_ids + 1).collect()
+    if len(id_rows) <= max_fetch_ids:
+        fetched = payload_proj.where(F.col("pid").isin([r.pid for r in id_rows]))
+    else:
+        fetched = payload_proj.join(F.broadcast(ids), "pid")
+    both = (
+        pairs.join(
+            fetched.select(
+                F.col("pid").alias("id_a"),
+                F.col("payload").alias("payload_a"),
+                F.col("codec").alias("codec_a"),
+                F.col("sr").alias("sr_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            fetched.select(
+                F.col("pid").alias("id_b"),
+                F.col("payload").alias("payload_b"),
+                F.col("codec").alias("codec_b"),
+            ),
+            "id_b",
+        )
+        .select("id_a", "id_b", "payload_a", "codec_a", "sr_a", "payload_b", "codec_b")
+    )
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            ida = b.column("id_a")
+            idb = b.column("id_b")
+            pa_ = b.column("payload_a")
+            pb_ = b.column("payload_b")
+            ca = b.column("codec_a").to_pylist()
+            cb = b.column("codec_b").to_pylist()
+            srs = b.column("sr_a").to_pylist()
+            rows: list[tuple[str, str, float, int, float]] = []
+            for i in range(b.num_rows):
+                x = _decode_np(pa_[i].as_py(), ca[i])
+                y = _decode_np(pb_[i].as_py(), cb[i])
+                sr = srs[i] or 0
+                if x is None or y is None or not sr:
+                    continue
+                min_ov = int(min_overlap_s * sr)
+                if len(x) < min_ov or len(y) < min_ov:
+                    continue
+                corr, lag, overlap = _best_offset_corr(
+                    x.astype(np.float64), y.astype(np.float64), min_ov
+                )
+                rows.append(
+                    (ida[i].as_py(), idb[i].as_py(), corr, lag, overlap / sr)
+                )
+            if rows:
+                cols = list(zip(*rows))
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(cols[0], type=pa.string()),
+                        pa.array(cols[1], type=pa.string()),
+                        pa.array(cols[2], type=pa.float64()),
+                        pa.array(cols[3], type=pa.int64()),
+                        pa.array(cols[4], type=pa.float64()),
+                    ],
+                    names=["id_a", "id_b", "corr", "lag_samples", "overlap_s"],
+                )
+
+    scored = both.mapInArrow(
+        kernel,
+        "id_a string, id_b string, corr double, lag_samples bigint, overlap_s double",
+    )
+    return scored.where(F.col("corr") >= min_corr)
+
+
+def audio_containment_pairs(
+    clips: DataFrame,
+    min_shared: int = 1,
+    max_bucket_size: int | None = 64,
+    min_corr: float = 0.9,
+    min_overlap_s: float = 0.25,
+    **col_kwargs,
+) -> DataFrame:
+    """End-to-end trimmed-copy detection: spectral shingles -> shared-sig
+    candidates -> best-lag correlation verify."""
+    sh = audio_spectral_shingles(clips, **col_kwargs).persist()
+    cands = spectral_candidates(
+        sh, min_shared=min_shared, max_bucket_size=max_bucket_size
+    ).persist()
+    return verify_containment_pairs(
+        cands,
+        clips,
+        min_corr=min_corr,
+        min_overlap_s=min_overlap_s,
+        **col_kwargs,
+    )

@@ -411,3 +411,42 @@ def test_identical_clips_survive_mega_bucket_salting(spark):
     labels = {r.id: r.cluster_id for r in duplicate_clusters(pairs).collect()}
     assert len(labels) == 200
     assert set(labels.values()) == {"d000"}
+
+
+def test_best_offset_corr_exact_slice():
+    """Numpy oracle: a verbatim slice correlates at 1.0 with lag equal
+    to the trim offset; an unrelated signal stays low at every lag."""
+    from llm_drift_detector_spark.audioops.containment import _best_offset_corr
+
+    x = make_pcm(61, 0, SR, 2 * SR).astype(np.float64)
+    delta = 3137
+    y = x[delta : delta + int(1.2 * SR)]
+    corr, lag, overlap = _best_offset_corr(x, y, int(0.25 * SR))
+    assert corr == pytest.approx(1.0, abs=1e-9)
+    assert lag == delta and overlap == len(y)
+    z = make_pcm(62, 0, SR, SR).astype(np.float64)
+    corr2, _, _ = _best_offset_corr(x, z, int(0.25 * SR))
+    assert corr2 < 0.5
+
+
+def test_containment_finds_trimmed_reencoded_copy(spark):
+    """A copy trimmed at an ARBITRARY sample offset, re-gained and
+    re-encoded (opus), is found with the correct lag; unrelated clips
+    produce no verified pairs."""
+    from llm_drift_detector_spark.audioops import audio_containment_pairs
+
+    delta = 4057  # deliberately not a multiple of any window/hop size
+    base = make_pcm(63, 0, SR, 2 * SR)
+    segment = (0.6 * base[delta : delta + int(1.2 * SR)]).astype(np.float32)
+    rows = [
+        _row("orig", base, "pcm_s16le"),
+        _row("trim", segment, "opus"),
+    ] + [_row(f"u{i}", make_pcm(64, i, SR, 2 * SR), "pcm_s16le") for i in range(8)]
+    clips = spark.createDataFrame(rows, CLIPS_DDL)
+    got = audio_containment_pairs(clips).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert {r.id_a, r.id_b} == {"orig", "trim"}
+    assert r.corr > 0.95  # opus companding noise keeps it just below 1
+    assert abs(abs(r.lag_samples) - delta) <= 2
+    assert r.overlap_s == pytest.approx(1.2, abs=0.01)
