@@ -6,10 +6,12 @@ N samples off the front shifts every energy frame.  This module detects
 concatenation duplication mode — with machinery that is invariant to
 sample offset:
 
-- **Candidates: spectral-peak signatures.**  Per 4096-sample window
-  (hop = half window): Hann -> |rfft| -> top-3 peak bins, quantized in
-  ABSOLUTE Hz (so differing sample rates of the same recording still
-  collide).  A window's dominant frequencies don't care where the
+- **Candidates: spectral-peak signatures.**  Per seconds-based window
+  (default 250 ms, hop = half window): Hann -> |rfft| -> top-3 peak
+  bins, quantized in ABSOLUTE Hz (so differing sample rates of the
+  same recording still collide; seconds-based windows keep coverage
+  sr-independent).  Clips shorter than one window emit nothing — size
+  ``window_s`` to the corpus.  A window's dominant frequencies don't care where the
   window grid falls, so a copy trimmed at ANY offset shares signatures
   with its source (verified against energy-delta anchor schemes, which
   lose alignment on grid shift).  Clips sharing >= ``min_shared``
@@ -47,11 +49,19 @@ SPECTRAL_TOPK = 3         # peak bins per window
 FREQ_QUANT_HZ = 8.0       # absolute-Hz quantization of peak frequencies
 
 
-def _spectral_sigs(pcm: np.ndarray, sr: int) -> set[str]:
-    """Shift-invariant signature set for one decoded clip."""
+def _spectral_sigs(
+    pcm: np.ndarray, sr: int, window_s: float = SPECTRAL_WINDOW_S
+) -> set[str]:
+    """Shift-invariant signature set for one decoded clip.
+
+    Clips shorter than one window emit nothing — a trim of a
+    sub-window clip is not a meaningful containment relationship; size
+    ``window_s`` to the corpus (it must be well under typical clip
+    duration for coverage, and long enough for the FFT to resolve
+    FREQ_QUANT_HZ)."""
     if not sr:
         return set()
-    w = int(sr * SPECTRAL_WINDOW_S)
+    w = int(sr * window_s)
     n = len(pcm)
     if n < w or w < 8:
         return set()
@@ -78,6 +88,7 @@ def audio_spectral_shingles(
     salted: bool = True,
     n_partitions: int | None = None,
     salt: int = 41,
+    window_s: float = SPECTRAL_WINDOW_S,
 ) -> DataFrame:
     """(id, sig) distinct spectral signatures, decoded scan-side."""
 
@@ -94,7 +105,7 @@ def audio_spectral_shingles(
                 if pcm is None:
                     continue
                 cid = ids[i].as_py()
-                for sig in _spectral_sigs(pcm, srs[i] or 0):
+                for sig in _spectral_sigs(pcm, srs[i] or 0, window_s):
                     out_id.append(cid)
                     out_sig.append(sig)
             if out_id:
@@ -287,11 +298,12 @@ def audio_containment_pairs(
     max_bucket_size: int | None = 64,
     min_corr: float = 0.9,
     min_overlap_s: float = 0.25,
+    window_s: float = SPECTRAL_WINDOW_S,
     **col_kwargs,
 ) -> DataFrame:
     """End-to-end trimmed-copy detection: spectral shingles -> shared-sig
     candidates -> best-lag correlation verify."""
-    sh = audio_spectral_shingles(clips, **col_kwargs).persist()
+    sh = audio_spectral_shingles(clips, window_s=window_s, **col_kwargs).persist()
     cands = spectral_candidates(
         sh, min_shared=min_shared, max_bucket_size=max_bucket_size
     ).persist()
