@@ -7,6 +7,7 @@ transcript.  Everything decodes scan-side (mapInArrow) and shuffles only
 small derived rows; payload bytes never enter an exchange.
 """
 
+from .crossmodal import cross_modal_duplicate_pairs, text_duplicate_pairs
 from .dedup import (
     audio_duplicate_pairs,
     audio_fingerprints,
@@ -27,6 +28,8 @@ from .retrieval import audio_topk
 
 __all__ = [
     "audio_containment_pairs",
+    "cross_modal_duplicate_pairs",
+    "text_duplicate_pairs",
     "audio_duplicate_pairs",
     "audio_feature_drift",
     "audio_features",

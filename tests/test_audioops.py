@@ -450,3 +450,33 @@ def test_containment_finds_trimmed_reencoded_copy(spark):
     assert r.corr > 0.95  # opus companding noise keeps it just below 1
     assert abs(abs(r.lag_samples) - delta) <= 2
     assert r.overlap_s == pytest.approx(1.2, abs=0.01)
+
+
+def test_cross_modal_duplicate_relations(spark):
+    """both / audio_only / text_only relations over a crafted corpus:
+    same recording + same transcript -> both; same recording with a
+    different transcript -> audio_only (transcription QA); same
+    transcript re-read as different audio -> text_only (keep)."""
+    from llm_drift_detector_spark.audioops import cross_modal_duplicate_pairs
+
+    pcm1 = make_pcm(71, 0, SR, SR)
+    pcm2 = make_pcm(71, 1, SR, SR)
+    t1 = "the quick brown fox jumps over the lazy dog again and again"
+    t2 = "completely different sentence with other words entirely spoken here"
+    ddl = CLIPS_DDL + ", transcript string"
+    rows = [
+        _row("b0", pcm1, "pcm_s16le") + (t1,),
+        _row("b1", pcm1, "flac") + (t1,),          # both: same audio+text
+        _row("a1", (0.5 * pcm1).astype(np.float32), "pcm_s16le") + (t2,),  # audio_only
+        _row("t1", pcm2, "pcm_s16le") + (t1,),     # text_only vs b0/b1
+    ]
+    clips = spark.createDataFrame(rows, ddl)
+    got = {
+        (r.id_a, r.id_b): r.relation
+        for r in cross_modal_duplicate_pairs(clips).collect()
+    }
+    assert got[("b0", "b1")] == "both"
+    assert got[("a1", "b0")] == "audio_only" and got[("a1", "b1")] == "audio_only"
+    assert got[("b0", "t1")] == "text_only" and got[("b1", "t1")] == "text_only"
+    # audio_only pairs never involve t1's different recording
+    assert ("a1", "t1") not in got
