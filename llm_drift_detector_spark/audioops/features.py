@@ -38,12 +38,13 @@ FEATURE_COLS = (
     "clipping_ratio",
     "zcr_per_s",
     "duration_s",
+    "hf_energy_ratio",
 )
 
 _OUT_DDL = (
     "clip_id string, decode_ok boolean, n_samples bigint, duration_s double, "
     "rms double, peak double, silence_ratio double, clipping_ratio double, "
-    "zcr_per_s double"
+    "zcr_per_s double, hf_energy_ratio double"
 )
 
 
@@ -53,6 +54,16 @@ def _features_np(pcm: np.ndarray, sr: int) -> tuple:
     dur = n / sr if sr else float("nan")
     ax = np.abs(x)
     zc = int(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1])))
+    # spectral energy above sr/4 relative to total: genuinely-recorded
+    # audio has SOME high-band content, while audio upsampled from a
+    # lower rate (fake "high-res") rolls off to ~0 — a QA/drift signal
+    # the time-domain features can't see.  One rfft per clip.
+    if n >= 8:
+        mag2 = np.abs(np.fft.rfft(x)) ** 2
+        total = float(mag2.sum())
+        hf = float(mag2[len(mag2) // 2 :].sum()) / total if total > 0 else 0.0
+    else:
+        hf = float("nan")
     return (
         n,
         dur,
@@ -61,6 +72,7 @@ def _features_np(pcm: np.ndarray, sr: int) -> tuple:
         float(np.mean(ax < SILENCE_ABS)),
         float(np.mean(ax >= CLIP_ABS)),
         (zc / dur) if dur and dur > 0 else float("nan"),
+        hf,
     )
 
 
@@ -75,7 +87,8 @@ def audio_features(
     salt: int = 29,
 ) -> DataFrame:
     """(clip_id, decode_ok, n_samples, duration_s, rms, peak,
-    silence_ratio, clipping_ratio, zcr_per_s) — one decode per clip.
+    silence_ratio, clipping_ratio, zcr_per_s, hf_energy_ratio) — one
+    decode per clip.
 
     Undecodable payloads emit ``decode_ok = false`` with null features
     (kept, not dropped: a decode-failure RATE is itself a drift signal).
@@ -92,7 +105,7 @@ def audio_features(
                 pcm = _decode_np(payloads[i].as_py(), codecs_[i])
                 cid = ids[i].as_py()
                 if pcm is None or len(pcm) == 0:
-                    rows.append((cid, False) + (None,) * 7)
+                    rows.append((cid, False) + (None,) * 8)
                 else:
                     rows.append((cid, True) + _features_np(pcm, srs[i] or 0))
             if rows:
@@ -108,6 +121,7 @@ def audio_features(
                         pa.array(cols[6], type=pa.float64()),
                         pa.array(cols[7], type=pa.float64()),
                         pa.array(cols[8], type=pa.float64()),
+                        pa.array(cols[9], type=pa.float64()),
                     ],
                     names=[
                         "clip_id",
@@ -119,6 +133,7 @@ def audio_features(
                         "silence_ratio",
                         "clipping_ratio",
                         "zcr_per_s",
+                        "hf_energy_ratio",
                     ],
                 )
 

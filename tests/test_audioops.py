@@ -139,11 +139,13 @@ def test_audio_features_match_numpy_oracle(spark, dup_clips):
     feats = {r.clip_id: r for r in audio_features(dup_clips).collect()}
     base = make_pcm(7, 0, SR, SR)
     dec = codecs.decode(codecs.encode(base, "pcm_s16le"), "pcm_s16le")
-    n, dur, rms, peak, sil, clip_r, zcr = _features_np(dec, SR)
+    n, dur, rms, peak, sil, clip_r, zcr, hf = _features_np(dec, SR)
     got = feats["a0"]
     assert got.decode_ok and got.n_samples == SR
     assert got.rms == pytest.approx(rms) and got.peak == pytest.approx(peak)
     assert got.zcr_per_s == pytest.approx(zcr)
+    # sine + small noise below sr/4: high-band holds only noise energy
+    assert got.hf_energy_ratio == pytest.approx(hf) and 0.0 < hf < 0.05
     # cross-check one feature against a direct numpy computation
     x = dec.astype(np.float64)
     assert got.rms == pytest.approx(float(np.sqrt(np.mean(x * x))))
