@@ -39,11 +39,21 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--clips", required=True)
     p.add_argument("--out", required=True)
-    p.add_argument("--mode", default="near", choices=("near", "exact"))
+    p.add_argument(
+        "--mode", default="near", choices=("near", "exact", "containment")
+    )
     p.add_argument("--min-corr", type=float, default=0.95)
     p.add_argument("--min-len-ratio", type=float, default=0.98)
     p.add_argument("--min-band-matches", type=int, default=2)
     p.add_argument("--max-bucket-size", type=int, default=64)
+    p.add_argument(
+        "--window-s", type=float, default=0.25,
+        help="containment mode: spectral window seconds (size to corpus)",
+    )
+    p.add_argument(
+        "--min-overlap-s", type=float, default=0.25,
+        help="containment mode: minimum verified overlap seconds",
+    )
     p.add_argument(
         "--keep-clips", action="store_true",
         help="also write the deduplicated clips table (rewrites payloads)",
@@ -62,6 +72,20 @@ def main(argv: list[str] | None = None) -> int:
         dups = exact_duplicates_audio(clips)
         dups.write.mode("overwrite").parquet(os.path.join(args.out, "pairs"))
         summary["dup_rows"] = spark.read.parquet(
+            os.path.join(args.out, "pairs")
+        ).count()
+    elif args.mode == "containment":
+        from llm_drift_detector_spark.audioops import audio_containment_pairs
+
+        pairs = audio_containment_pairs(
+            clips,
+            max_bucket_size=args.max_bucket_size,
+            min_corr=args.min_corr,
+            min_overlap_s=args.min_overlap_s,
+            window_s=args.window_s,
+        )
+        pairs.write.mode("overwrite").parquet(os.path.join(args.out, "pairs"))
+        summary["pairs"] = spark.read.parquet(
             os.path.join(args.out, "pairs")
         ).count()
     else:
