@@ -6,16 +6,19 @@ Usage (cluster or local):
     spark-submit --py-files dist/llm_drift_detector_spark.zip \
         jobs/dedup_audio.py \
         --clips <path-or-table> --out /path/to/dedup-output \
-        [--mode near|exact] [--min-corr 0.95] [--min-band-matches 2] \
-        [--max-bucket-size 64] [--keep-clips]
+        [--mode near|exact|containment] [--min-corr MODE_DEFAULT] \
+        [--min-band-matches 2] [--max-bucket-size 64] [--keep-clips]
 
 Writes to --out:
 
-- ``pairs/``     verified near-dup pairs (id_a, id_b, corr, len_ratio)
-                 (near mode) or exact-dup membership rows (exact mode)
+- ``pairs/``     verified near-dup pairs (near mode), exact-dup
+                 membership rows (exact mode), or containment pairs
+                 with corr/lag/overlap (containment mode)
 - ``clusters/``  (id, cluster_id) connected components (near mode)
-- ``kept/``      the deduplicated clips table (only with --keep-clips —
-                 it rewrites payloads, the one stage that moves bytes)
+- ``kept/``      the deduplicated clips table (--keep-clips, near and
+                 exact modes — it rewrites payloads, the one stage that
+                 moves bytes; containment is not an equivalence
+                 relation, so --keep-clips there is an error)
 
 Prints one JSON summary line.  Inputs may be parquet paths or catalog
 tables (``table:<name>`` prefix, e.g. Iceberg).
@@ -42,7 +45,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--mode", default="near", choices=("near", "exact", "containment")
     )
-    p.add_argument("--min-corr", type=float, default=0.95)
+    p.add_argument(
+        "--min-corr", type=float, default=None,
+        help="verification gate; defaults to the library default for "
+        "the mode (0.95 near, 0.9 containment)",
+    )
     p.add_argument("--min-len-ratio", type=float, default=0.98)
     p.add_argument("--min-band-matches", type=int, default=2)
     p.add_argument("--max-bucket-size", type=int, default=64)
@@ -59,6 +66,13 @@ def main(argv: list[str] | None = None) -> int:
         help="also write the deduplicated clips table (rewrites payloads)",
     )
     args = p.parse_args(argv)
+    if args.keep_clips and args.mode == "containment":
+        p.error("--keep-clips is undefined for containment mode (a "
+                "contained segment is not an equivalence class); drop "
+                "the flag or use --mode near/exact")
+    min_corr = args.min_corr if args.min_corr is not None else (
+        0.9 if args.mode == "containment" else 0.95
+    )
 
     from pyspark.sql import SparkSession
 
@@ -67,6 +81,9 @@ def main(argv: list[str] | None = None) -> int:
     summary: dict = {"mode": args.mode, "clips": args.clips}
 
     if args.mode == "exact":
+        import pyspark.sql.functions as F
+        from pyspark.sql import Window
+
         from llm_drift_detector_spark.audioops import exact_duplicates_audio
 
         dups = exact_duplicates_audio(clips)
@@ -74,13 +91,27 @@ def main(argv: list[str] | None = None) -> int:
         summary["dup_rows"] = spark.read.parquet(
             os.path.join(args.out, "pairs")
         ).count()
+        if args.keep_clips:
+            losers = (
+                spark.read.parquet(os.path.join(args.out, "pairs"))
+                .withColumn(
+                    "keeper", F.min("id").over(Window.partitionBy("dup_group"))
+                )
+                .where(F.col("id") != F.col("keeper"))
+                .select(F.col("id").alias("clip_id"))
+            )
+            kept = clips.join(F.broadcast(losers), "clip_id", "left_anti")
+            kept.write.mode("overwrite").parquet(os.path.join(args.out, "kept"))
+            summary["kept"] = spark.read.parquet(
+                os.path.join(args.out, "kept")
+            ).count()
     elif args.mode == "containment":
         from llm_drift_detector_spark.audioops import audio_containment_pairs
 
         pairs = audio_containment_pairs(
             clips,
             max_bucket_size=args.max_bucket_size,
-            min_corr=args.min_corr,
+            min_corr=min_corr,
             min_overlap_s=args.min_overlap_s,
             window_s=args.window_s,
         )
@@ -96,7 +127,7 @@ def main(argv: list[str] | None = None) -> int:
             clips,
             max_bucket_size=args.max_bucket_size,
             min_band_matches=args.min_band_matches,
-            min_corr=args.min_corr,
+            min_corr=min_corr,
             min_len_ratio=args.min_len_ratio,
         ).persist()
         pairs.write.mode("overwrite").parquet(os.path.join(args.out, "pairs"))

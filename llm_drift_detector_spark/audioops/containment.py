@@ -40,6 +40,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from ..checks.audio import _decode_np
+from .dedup import _fetch_pair_payloads
 
 SPECTRAL_WINDOW_S = 0.25  # analysis window in SECONDS (sr-independent
                           # coverage: a fixed sample count is 512 ms at
@@ -209,42 +210,20 @@ def verify_containment_pairs(
     max_fetch_ids: int = 1_000,
 ) -> DataFrame:
     """(id_a, id_b, corr, lag_samples, overlap_s) for candidate pairs
-    whose best-lag overlapping correlation passes the gates."""
-    ids = (
-        pairs.select(F.col("id_a").alias("pid"))
-        .unionAll(pairs.select(F.col("id_b").alias("pid")))
-        .distinct()
-    )
-    payload_proj = clips.select(
-        F.col(id_col).alias("pid"),
-        F.col(payload_col).alias("payload"),
-        F.col(codec_col).alias("codec"),
-        F.col(sr_col).alias("sr"),
-    )
-    id_rows = ids.limit(max_fetch_ids + 1).collect()
-    if len(id_rows) <= max_fetch_ids:
-        fetched = payload_proj.where(F.col("pid").isin([r.pid for r in id_rows]))
-    else:
-        fetched = payload_proj.join(F.broadcast(ids), "pid")
-    both = (
-        pairs.join(
-            fetched.select(
-                F.col("pid").alias("id_a"),
-                F.col("payload").alias("payload_a"),
-                F.col("codec").alias("codec_a"),
-                F.col("sr").alias("sr_a"),
-            ),
-            "id_a",
-        )
-        .join(
-            fetched.select(
-                F.col("pid").alias("id_b"),
-                F.col("payload").alias("payload_b"),
-                F.col("codec").alias("codec_b"),
-            ),
-            "id_b",
-        )
-        .select("id_a", "id_b", "payload_a", "codec_a", "sr_a", "payload_b", "codec_b")
+    whose best-lag overlapping correlation passes the gates.
+
+    Mismatched sample rates are handled: side b is linearly resampled
+    to side a's rate before correlating (the absolute-Hz signatures
+    deliberately let an 8 kHz and a 16 kHz copy of the same recording
+    collide — the verifier must not then reject them for comparing raw
+    streams in different timebases).  ``lag_samples`` and ``overlap_s``
+    are reported in side a's timebase."""
+    both = _fetch_pair_payloads(
+        pairs,
+        clips,
+        id_col,
+        {"payload": payload_col, "codec": codec_col, "sr": sr_col},
+        max_fetch_ids=max_fetch_ids,
     )
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -255,14 +234,22 @@ def verify_containment_pairs(
             pb_ = b.column("payload_b")
             ca = b.column("codec_a").to_pylist()
             cb = b.column("codec_b").to_pylist()
-            srs = b.column("sr_a").to_pylist()
+            sra = b.column("sr_a").to_pylist()
+            srb = b.column("sr_b").to_pylist()
             rows: list[tuple[str, str, float, int, float]] = []
             for i in range(b.num_rows):
                 x = _decode_np(pa_[i].as_py(), ca[i])
                 y = _decode_np(pb_[i].as_py(), cb[i])
-                sr = srs[i] or 0
-                if x is None or y is None or not sr:
+                sr = sra[i] or 0
+                sr_b = srb[i] or 0
+                if x is None or y is None or not sr or not sr_b:
                     continue
+                if sr_b != sr and len(y) > 1:
+                    # linear resample of b into a's timebase
+                    dur_b = len(y) / sr_b
+                    t_new = np.arange(int(dur_b * sr)) / sr
+                    t_old = np.arange(len(y)) / sr_b
+                    y = np.interp(t_new, t_old, y.astype(np.float64))
                 min_ov = int(min_overlap_s * sr)
                 if len(x) < min_ov or len(y) < min_ov:
                     continue
@@ -299,18 +286,39 @@ def audio_containment_pairs(
     min_corr: float = 0.9,
     min_overlap_s: float = 0.25,
     window_s: float = SPECTRAL_WINDOW_S,
-    **col_kwargs,
+    id_col: str = "clip_id",
+    payload_col: str = "bytes",
+    codec_col: str = "codec",
+    sr_col: str = "sr_hz",
+    **shingle_kwargs,
 ) -> DataFrame:
     """End-to-end trimmed-copy detection: spectral shingles -> shared-sig
-    candidates -> best-lag correlation verify."""
-    sh = audio_spectral_shingles(clips, window_s=window_s, **col_kwargs).persist()
+    candidates -> best-lag correlation verify.
+
+    Column names route to BOTH stages; extra keyword arguments
+    (``salted`` / ``n_partitions`` / ``salt``) go to the shingle stage
+    only.  The signature and candidate frames are persisted because the
+    verify stage's id collect and the returned plan each reference them
+    (the decode / pair aggregation would otherwise re-run); they stay
+    cached for the life of the returned DataFrame.
+    """
+    cols = dict(
+        id_col=id_col, payload_col=payload_col, codec_col=codec_col, sr_col=sr_col
+    )
+    sh = audio_spectral_shingles(
+        clips, window_s=window_s, **cols, **shingle_kwargs
+    ).persist()
     cands = spectral_candidates(
         sh, min_shared=min_shared, max_bucket_size=max_bucket_size
     ).persist()
-    return verify_containment_pairs(
+    result = verify_containment_pairs(
         cands,
         clips,
         min_corr=min_corr,
         min_overlap_s=min_overlap_s,
-        **col_kwargs,
+        **cols,
     )
+    # the verify id-collect above materialized cands; the signature
+    # frame is no longer referenced by the returned plan
+    sh.unpersist()
+    return result

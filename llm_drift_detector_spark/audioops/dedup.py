@@ -213,6 +213,49 @@ def fingerprint_candidates(
     )
 
 
+def _fetch_pair_payloads(
+    pairs: DataFrame,
+    clips: DataFrame,
+    id_col: str,
+    cols: dict[str, str],
+    max_fetch_ids: int = 1_000,
+) -> DataFrame:
+    """Join each candidate pair to both members' payload columns with the
+    validator's targeted-fetch discipline (``checks/audio.py:328-357``):
+    small id sets collect and push as an In(clip_id, ...) literal into
+    the scan (row-group pruning); larger sets fall back to an id-only
+    broadcast semi-join.  ``cols`` maps output base names to clips
+    columns; the result carries ``<name>_a`` / ``<name>_b`` for each.
+    Shared by the whole-clip and containment verifiers so there is ONE
+    fetch path to maintain."""
+    ids = (
+        pairs.select(F.col("id_a").alias("pid"))
+        .unionAll(pairs.select(F.col("id_b").alias("pid")))
+        .distinct()
+    )
+    proj = clips.select(
+        F.col(id_col).alias("pid"),
+        *[F.col(src).alias(name) for name, src in cols.items()],
+    )
+    id_rows = ids.limit(max_fetch_ids + 1).collect()
+    if len(id_rows) <= max_fetch_ids:
+        fetched = proj.where(F.col("pid").isin([r.pid for r in id_rows]))
+    else:
+        fetched = proj.join(F.broadcast(ids), "pid")
+    side_a = fetched.select(
+        F.col("pid").alias("id_a"),
+        *[F.col(name).alias(f"{name}_a") for name in cols],
+    )
+    side_b = fetched.select(
+        F.col("pid").alias("id_b"),
+        *[F.col(name).alias(f"{name}_b") for name in cols],
+    )
+    out_cols = ["id_a", "id_b"]
+    for name in cols:
+        out_cols += [f"{name}_a", f"{name}_b"]
+    return pairs.join(side_a, "id_a").join(side_b, "id_b").select(*out_cols)
+
+
 _VERIFY_SCHEMA = (
     "id_a string, id_b string, corr double, len_ratio double"
 )
@@ -282,41 +325,12 @@ def verify_pairs_pcm(
     candidate rows move, and they must move anyway to meet their pair
     partner.  At Iceberg scale the id list becomes a bucket-pruned scan.
     """
-    ids = (
-        pairs.select(F.col("id_a").alias("pid"))
-        .unionAll(pairs.select(F.col("id_b").alias("pid")))
-        .distinct()
-    )
-    payload_proj = clips.select(
-        F.col(id_col).alias("pid"),
-        F.col(payload_col).alias("payload"),
-        F.col(codec_col).alias("codec"),
-    )
-    id_rows = ids.limit(max_fetch_ids + 1).collect()
-    if len(id_rows) <= max_fetch_ids:
-        fetched = payload_proj.where(
-            F.col("pid").isin([r.pid for r in id_rows])
-        )
-    else:
-        fetched = payload_proj.join(F.broadcast(ids), "pid")
-    both = (
-        pairs.join(
-            fetched.select(
-                F.col("pid").alias("id_a"),
-                F.col("payload").alias("payload_a"),
-                F.col("codec").alias("codec_a"),
-            ),
-            "id_a",
-        )
-        .join(
-            fetched.select(
-                F.col("pid").alias("id_b"),
-                F.col("payload").alias("payload_b"),
-                F.col("codec").alias("codec_b"),
-            ),
-            "id_b",
-        )
-        .select("id_a", "id_b", "payload_a", "codec_a", "payload_b", "codec_b")
+    both = _fetch_pair_payloads(
+        pairs,
+        clips,
+        id_col,
+        {"payload": payload_col, "codec": codec_col},
+        max_fetch_ids=max_fetch_ids,
     )
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -432,7 +446,7 @@ def audio_duplicate_pairs(
         .distinct()
         .persist()
     )
-    return verify_pairs_pcm(
+    result = verify_pairs_pcm(
         cands,
         clips,
         id_col=id_col,
@@ -441,3 +455,8 @@ def audio_duplicate_pairs(
         min_corr=min_corr,
         min_len_ratio=min_len_ratio,
     )
+    # the verify id-collect above materialized cands; the signature frame
+    # is no longer referenced by the returned plan — release it (cands
+    # stays cached for the life of the returned DataFrame)
+    fp.unpersist()
+    return result

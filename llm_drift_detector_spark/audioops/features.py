@@ -231,7 +231,18 @@ def audio_feature_drift(
             f = f.join(
                 df.select(F.col(id_col).alias("clip_id"), *gk), "clip_id"
             )
-        return f.select(*gk, *cols)
+        # NaN -> null so the detectors' null filters drop them: a null/0
+        # sr_hz yields NaN zcr/duration (and n<8 yields NaN hf ratio)
+        # even when the payload decodes, and Spark sorts NaN ABOVE every
+        # double — left in, they pile into the top histogram bin and
+        # fabricate (or mask) drift
+        return f.select(
+            *gk,
+            *[
+                F.nanvl(F.col(c), F.lit(None).cast("double")).alias(c)
+                for c in cols
+            ],
+        )
 
     return multi_feature_drift(
         side(ref), side(cur), cols, exact=exact, group_keys=gk or None, **kwargs

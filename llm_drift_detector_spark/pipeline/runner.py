@@ -128,12 +128,34 @@ def violations_frame(
     )
 
 
+def _payload_duplicate_rows(clips_full: DataFrame, cfg: RunConfig) -> DataFrame:
+    """payload_duplicate violation rows over a FULL clips view (never a
+    bucket slice — duplicates are grouped by md5(bytes), which is not
+    closed under clip_id bucketing)."""
+    from pyspark.sql import Window
+
+    from ..audioops.dedup import exact_duplicates_audio
+
+    dup = (
+        exact_duplicates_audio(clips_full)
+        .withColumn("keeper", F.min("id").over(Window.partitionBy("dup_group")))
+        .where(F.col("id") != F.col("keeper"))
+    )
+    return dup.select(
+        F.lit("payload_duplicate").alias("check_name"),
+        F.col("id").alias("clip_id"),
+        F.to_json(F.struct(F.col("dup_group"), F.col("group_size"))).alias("detail"),
+        bucket_id(F.col("id"), cfg.n_buckets).alias("partition_id"),
+    )
+
+
 def _violations_for_group(
     clips_g: DataFrame,
     transcripts_g: DataFrame,
     reference_g: DataFrame,
     cfg: RunConfig,
     include_global: bool = True,
+    full_view: bool = True,
 ) -> DataFrame:
     """All violation rows for one bucket group, in FIXTURES §4 shape
     minus run_id (added by the writer).  Buckets are closed under
@@ -206,31 +228,14 @@ def _violations_for_group(
                 bucket_id("clip_id", cfg.n_buckets).alias("partition_id"),
             )
         )
-    if include_global and cfg.check_active("payload_duplicate"):
+    if include_global and full_view and cfg.check_active("payload_duplicate"):
         # same audio bytes under a DIFFERENT clip_id — the payload-level
-        # complement of id-level uniqueness (opt-in gate; global because
-        # the pair may straddle buckets, like transcript-orphans)
-        from pyspark.sql import Window
-
-        from ..audioops.dedup import exact_duplicates_audio
-
-        dup = (
-            exact_duplicates_audio(clips_g)
-            .withColumn(
-                "keeper", F.min("id").over(Window.partitionBy("dup_group"))
-            )
-            .where(F.col("id") != F.col("keeper"))
-        )
-        parts.append(
-            dup.select(
-                F.lit("payload_duplicate").alias("check_name"),
-                F.col("id").alias("clip_id"),
-                F.to_json(F.struct(F.col("dup_group"), F.col("group_size"))).alias(
-                    "detail"
-                ),
-                bucket_id(F.col("id"), cfg.n_buckets).alias("partition_id"),
-            )
-        )
+        # complement of id-level uniqueness.  full_view-only: bucket
+        # groups are closed under clip_id, NOT under md5(bytes), so a
+        # per-group run would silently miss every pair whose members
+        # hash to different groups; the checkpointed runner instead
+        # executes this once globally (see run_validation).
+        parts.append(_payload_duplicate_rows(clips_g, cfg))
     if not parts:
         spark = clips_g.sparkSession
         return spark.createDataFrame(
@@ -326,7 +331,9 @@ def run_validation(
         tr_g = transcripts.where(group_pred(transcripts, buckets))
         ref_g = reference.where(group_pred(reference, buckets))
 
-        vio = _violations_for_group(clips_g, tr_g, ref_g, cfg).withColumn(
+        vio = _violations_for_group(
+            clips_g, tr_g, ref_g, cfg, full_view=False
+        ).withColumn(
             "run_id", F.lit(cfg.run_id)
         ).select("run_id", "check_name", "clip_id", "detail", "partition_id")
         group_path = os.path.join(cfg.out_dir, "violations", f"group={g}")
@@ -391,6 +398,24 @@ def run_validation(
     compute_metrics = not still_pending and not os.path.exists(
         os.path.join(metrics_path, "_SUCCESS")
     )
+
+    # payload_duplicate is opt-in AND full-table-only (duplicate groups
+    # key on md5(bytes), which clip_id bucketing does not respect), so
+    # the checkpointed path runs it ONCE over the full input when this
+    # call completes the run; overwrite into a per-run_id group dir
+    # makes a resume idempotent.
+    payload_dup_count = None
+    if cfg.check_active("payload_duplicate") and not still_pending:
+        pd_path = os.path.join(
+            cfg.out_dir, "violations", f"group=payload_global_{cfg.run_id}"
+        )
+        if not os.path.exists(os.path.join(pd_path, "_SUCCESS")):
+            _payload_duplicate_rows(clips, cfg).withColumn(
+                "run_id", F.lit(cfg.run_id)
+            ).select(
+                "run_id", "check_name", "clip_id", "detail", "partition_id"
+            ).write.mode("overwrite").parquet(pd_path)
+        payload_dup_count = spark.read.parquet(pd_path).count()
     metrics_rows = []
     prof = (
         profile(clips, ["sr_hz", "dur_ms"], cfg.mode).collect() if compute_metrics else []
@@ -499,6 +524,7 @@ def run_validation(
     summary = {
         "run_id": cfg.run_id,
         "global_metrics_computed": compute_metrics,
+        "payload_duplicate_rows": payload_dup_count,
         "resumed_buckets_skipped": sorted(done),
         "executed_groups": executed_groups,
         "buckets_pass": cp_all.where(F.col("status") == "pass").count(),

@@ -298,6 +298,53 @@ def test_payload_duplicate_opt_in_check(spark):
     assert [(r.check_name, r.clip_id) for r in got] == [("payload_duplicate", "k1")]
 
 
+def test_payload_duplicate_cross_group_in_checkpointed_runner(spark, tmp_path):
+    """Duplicate groups key on md5(bytes), which clip_id bucketing does
+    NOT respect: a pair whose ids hash to different bucket GROUPS must
+    still be flagged by the checkpointed runner (it runs the check once
+    globally, not per group)."""
+    from llm_drift_detector_spark.checks.base import bucket_id
+    from llm_drift_detector_spark.pipeline.runner import RunConfig, run_validation
+
+    n_buckets, groups = 8, 4
+    # pick two ids that land in different GROUPS (bucket % groups)
+    cand = spark.createDataFrame(
+        [(f"id{i}",) for i in range(40)], "clip_id string"
+    ).select("clip_id", bucket_id("clip_id", n_buckets).alias("b")).collect()
+    by_group = {}
+    for r in cand:
+        by_group.setdefault(int(r.b) % groups, []).append(r.clip_id)
+    gkeys = sorted(by_group)
+    id_a, id_b = by_group[gkeys[0]][0], by_group[gkeys[1]][0]
+
+    pcm = make_pcm(37, 0, SR, SR // 4)
+    payload = bytearray(codecs.encode(pcm, "pcm_s16le"))
+    other = make_pcm(37, 1, SR, SR // 4)
+    ddl = CLIPS_DDL + ", transcript string"
+    rows = [
+        (id_a, payload, SR, 250, "pcm_s16le", "t"),
+        (id_b, payload, SR, 250, "pcm_s16le", "t"),  # same bytes, other group
+        _row("uniq", other, "pcm_s16le") + ("t",),
+    ]
+    clips = spark.createDataFrame(rows, ddl)
+    empty_t = spark.createDataFrame([], "clip_id string, transcript string")
+    cfg = RunConfig(
+        run_id="pdx",
+        out_dir=str(tmp_path / "out"),
+        n_buckets=n_buckets,
+        groups=groups,
+        enabled_checks=("payload_duplicate",),
+    )
+    summary = run_validation(spark, clips, empty_t, clips, cfg)
+    assert summary["payload_duplicate_rows"] == 1
+    vio = spark.read.parquet(str(tmp_path / "out" / "violations"))
+    flagged = vio.where(F.col("check_name") == "payload_duplicate").collect()
+    assert [r.clip_id for r in flagged] == [max(id_a, id_b)]
+    # idempotent on resume: re-running does not duplicate the rows
+    summary2 = run_validation(spark, clips, empty_t, clips, cfg)
+    assert summary2["payload_duplicate_rows"] == 1
+
+
 def test_audio_quality_gate_runs_in_streaming(spark, tmp_path):
     """The gate is per-row (batch-local), so it is streaming-safe: an
     opt-in cfg routes it through stream_validate's micro-batches."""
@@ -482,3 +529,25 @@ def test_cross_modal_duplicate_relations(spark):
     assert got[("b0", "t1")] == "text_only" and got[("b1", "t1")] == "text_only"
     # audio_only pairs never involve t1's different recording
     assert ("a1", "t1") not in got
+
+
+def test_containment_matches_across_sample_rates(spark):
+    """The same recording stored at 16 kHz and as a decimated 8 kHz copy:
+    absolute-Hz signatures collide by design, and the verifier must
+    resample instead of rejecting the pair for comparing raw streams in
+    different timebases."""
+    from llm_drift_detector_spark.audioops import audio_containment_pairs
+
+    base = make_pcm(67, 0, SR, 2 * SR)          # f < 0.4*16k < 4 kHz
+    low = base[::2].copy()                       # clean 8 kHz decimation
+    rows = [
+        _row("hi16", base, "pcm_s16le", sr=SR),
+        _row("lo8", (0.8 * low).astype(np.float32), "pcm_s16le", sr=SR // 2),
+    ] + [_row(f"u{i}", make_pcm(68, i, SR, 2 * SR), "pcm_s16le") for i in range(5)]
+    clips = spark.createDataFrame(rows, CLIPS_DDL)
+    got = audio_containment_pairs(clips).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert {r.id_a, r.id_b} == {"hi16", "lo8"}
+    assert r.corr > 0.9
+    assert r.overlap_s == pytest.approx(2.0, abs=0.05)
