@@ -556,9 +556,22 @@ def embedding_drift(
     }
     if use_mmd and n_ref > 10 and n_cur > 10:
         # --- action 3: both <=cap subsamples in ONE window job ---
+        # The two-value partition key would force each ENTIRE side
+        # through one task (full sort of N rows to keep cap): thin each
+        # side first with a Bernoulli gate sized from the counts action
+        # 1 already paid for (~3x cap expected survivors, shortfall
+        # probability ~0), so the per-side window sorts a bounded frame.
+        # When a side is small the fraction is 1.0 and every row
+        # survives — selection is then identical to the unthinned job.
+        frac_ref = min(1.0, 3.0 * mmd_cap / max(n_ref, 1))
+        frac_cur = min(1.0, 3.0 * mmd_cap / max(n_cur, 1))
+        gate = F.rand(seed + 1) < F.when(
+            F.col("is_ref") == 1, F.lit(frac_ref)
+        ).otherwise(F.lit(frac_cur))
         w = Window.partitionBy("is_ref").orderBy(F.rand(seed))
         rows = (
-            tagged.withColumn("rn", F.row_number().over(w))
+            tagged.where(gate)
+            .withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") <= mmd_cap)
             .select("is_ref", "e")
             .collect()

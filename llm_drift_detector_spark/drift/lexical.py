@@ -306,10 +306,23 @@ def lexical_drift(
     tagged = tag_windows(
         ref.select(F.col(col)), cur.select(F.col(col))
     ).withColumn("_g", F.lit(1))
-    row = grouped_lexical_drift(
+    rows = grouped_lexical_drift(
         tagged, ["_g"], col,
         detector_threshold=detector_threshold, min_samples=min_samples,
-    ).collect()[0]
+    ).collect()
+    if not rows:
+        # both windows empty / all-null: the grouped job emits no rows —
+        # same gated zero result the pre-fusion count gate returned
+        return {
+            "metric_name": "lexical_drift",
+            "reference_size": 0,
+            "current_size": 0,
+            "threshold": detector_threshold,
+            "drift_score": 0.0,
+            "drift_detected": False,
+            "gated": True,
+        }
+    row = rows[0]
     result: dict = {
         "metric_name": "lexical_drift",
         "reference_size": int(row.n_ref),

@@ -124,7 +124,19 @@ def performance_drift(
                 "drift_score": float(row.drift_score),
                 "drift_detected": bool(row.drift_detected),
             }
-    overall_row = rows["overall"]
+    overall_row = rows.get("overall")
+    if overall_row is None:
+        # both windows empty (or every metric gated before aggregation):
+        # the grouped job emits no rows — return the zero-drift shape
+        # the pre-fusion code produced instead of KeyError
+        return {
+            "metric_name": "performance_drift",
+            "drift_score": 0.0,
+            "drift_detected": False,
+            "threshold": detector_threshold,
+            "metrics": metric_results,
+            "num_metrics_analyzed": len(metric_results),
+        }
     overall = float(overall_row.drift_score)
     return {
         "metric_name": "performance_drift",
@@ -185,6 +197,37 @@ def grouped_performance_drift(
             F.coalesce(F.avg(F.when(is_r, e)), F.lit(0.0)).alias("__er_r"),
             F.coalesce(F.avg(F.when(~is_r, e)), F.lit(0.0)).alias("__er_c"),
         ]
+    if not aggs:
+        # no numeric metrics and no error condition (e.g. error_rate
+        # requested without error_condition): nothing to aggregate —
+        # groupBy().agg() rejects an empty expression list, and the old
+        # single-pair path returned a clean zero result here
+        from pyspark.sql.types import (
+            BooleanType,
+            DoubleType,
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        key_fields = [f for f in df.schema.fields if f.name in keys]
+        out_fields = key_fields + [
+            StructField("metric", StringType()),
+            StructField("ref_value", DoubleType()),
+            StructField("cur_value", DoubleType()),
+            StructField("relative_change", DoubleType()),
+            StructField("drift_score", DoubleType()),
+            StructField("drift_detected", BooleanType()),
+            StructField("gated", BooleanType()),
+            StructField("ref_n", LongType()),
+            StructField("cur_n", LongType()),
+            StructField("ref_var", DoubleType()),
+            StructField("cur_var", DoubleType()),
+            StructField("ref_std", DoubleType()),
+            StructField("cur_std", DoubleType()),
+        ]
+        return df.sparkSession.createDataFrame([], StructType(out_fields))
     st = df.groupBy(*keys).agg(*aggs)
 
     structs = []

@@ -99,10 +99,19 @@ def merge_upsert(
     # target-existence probe via the engine, not os.path: os.path.exists is
     # always False for s3://, hdfs:// etc., which silently skipped the
     # anti-join and duplicated rows on re-run for non-local targets
+    from pyspark.errors import AnalysisException
+
     try:
         existing = spark.read.parquet(spec).select(*keys).distinct()
-    except Exception:
-        existing = None  # no target yet (AnalysisException: PATH_NOT_FOUND)
+    except AnalysisException as e:
+        # ONLY "no target yet" may skip the dedup — a transient read
+        # failure (credentials, throttling, corrupt footer) must raise,
+        # or the anti-join is silently skipped and the re-run appends
+        # every already-written key again
+        msg = str(e)
+        if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+            raise
+        existing = None
     if existing is not None:
         df = df.join(existing, keys, "left_anti")
     df.write.mode("append").parquet(spec)

@@ -247,9 +247,21 @@ def _violations_for_group(
     return out
 
 
+def _path_exists(spark: SparkSession, path: str) -> bool:
+    """Existence probe through the Hadoop FileSystem API: os.path.exists
+    is always False for s3://, hdfs:// etc., which would make every
+    resume on a remote out_dir recompute (and rewrite) work its
+    _SUCCESS gate exists to skip.  Resolution follows the session's
+    defaultFS — the same place the parquet writers put the data."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
+
+
 def _completed_buckets(spark: SparkSession, cfg: RunConfig) -> set[int]:
     path = os.path.join(cfg.out_dir, "checkpoints")
-    if not os.path.exists(path):  # first run: nothing checkpointed yet
+    if not _path_exists(spark, path):  # first run: nothing checkpointed yet
         return set()
     cp = spark.read.parquet(path)
     rows = (
@@ -395,8 +407,8 @@ def run_validation(
     # collide with the run_id data column.
     metrics_path = os.path.join(cfg.out_dir, "metrics", f"run={cfg.run_id}")
     still_pending = set(pending) - executed_buckets
-    compute_metrics = not still_pending and not os.path.exists(
-        os.path.join(metrics_path, "_SUCCESS")
+    compute_metrics = not still_pending and not _path_exists(
+        spark, os.path.join(metrics_path, "_SUCCESS")
     )
 
     # payload_duplicate is opt-in AND full-table-only (duplicate groups
@@ -409,7 +421,7 @@ def run_validation(
         pd_path = os.path.join(
             cfg.out_dir, "violations", f"group=payload_global_{cfg.run_id}"
         )
-        if not os.path.exists(os.path.join(pd_path, "_SUCCESS")):
+        if not _path_exists(spark, os.path.join(pd_path, "_SUCCESS")):
             _payload_duplicate_rows(clips, cfg).withColumn(
                 "run_id", F.lit(cfg.run_id)
             ).select(

@@ -265,8 +265,17 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         # truncate lineage every few rounds: each iteration stacks a
         # join onto the logical plan; on a high-diameter component the
         # un-checkpointed plan gets arbitrarily deep (analysis cost +
-        # stack risk at 10^12-edge scale)
-        labels = new.localCheckpoint(eager=True) if (it + 1) % 5 == 0 else new
+        # stack risk at 10^12-edge scale).  After the checkpoint, release
+        # `new`'s cache explicitly — rebinding labels to the checkpoint
+        # wrapper would otherwise leave each checkpoint round's (id,
+        # label) cache pinned for the session (the later
+        # labels.unpersist() only sees the wrapper).
+        if (it + 1) % 5 == 0:
+            cp = new.localCheckpoint(eager=True)
+            new.unpersist()
+            labels = cp
+        else:
+            labels = new
         if changed == 0:
             break
     sym.unpersist()

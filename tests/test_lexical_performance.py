@@ -276,3 +276,32 @@ def test_performance_drift_fused_single_action(spark, monkeypatch):
     # change saturates the drift score -> detected
     assert not res["metrics"]["latency"]["threshold_exceeded"]
     assert res["metrics"]["latency"]["drift_detected"]
+
+
+def test_fused_detectors_handle_empty_windows(spark):
+    """Empty ref+cur windows (a monitoring slot with no rows yet) must
+    return the gated zero-drift shape, not KeyError/IndexError — the
+    grouped one-job paths emit no rows for an empty union."""
+    import pyspark.sql.functions as F
+
+    from llm_drift_detector_spark.drift.lexical import lexical_drift
+    from llm_drift_detector_spark.drift.performance import performance_drift
+
+    empty_perf = spark.createDataFrame([], "response_time double, status string")
+    res = performance_drift(
+        empty_perf,
+        empty_perf,
+        metrics=[{"name": "response_time", "upper_threshold": 5.0}],
+        error_condition=F.col("status") == "error",
+    )
+    assert res["drift_score"] == 0.0 and not res["drift_detected"]
+
+    # error_rate requested WITHOUT an error_condition: nothing to
+    # aggregate — must return cleanly, not crash on an empty agg list
+    some = spark.createDataFrame([(1.0, "ok")], "response_time double, status string")
+    res2 = performance_drift(some, some, metrics=[{"name": "error_rate"}])
+    assert res2["drift_score"] == 0.0 and res2["num_metrics_analyzed"] == 0
+
+    empty_text = spark.createDataFrame([], "transcript string")
+    res3 = lexical_drift(empty_text, empty_text, "transcript")
+    assert res3["gated"] and res3["drift_score"] == 0.0
