@@ -460,24 +460,33 @@ def q_clips_transcript_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_clips_dur_mismatch_bytelen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dur_ms mismatch for byte-length-derivable codecs (pcm: 2 B/sample,
-    opus/mu-law: 1 B/sample) — the native fast-path subset of the full
-    mapInPandas check, SQL-expressible for the oracle (flac needs decode)."""
+    opus/mu-law: 1 B/sample, canonical-header wav: (len-44)/2) — the
+    native fast-path subset of the full mapInPandas check, SQL-expressible
+    for the oracle (flac needs decode)."""
+    from llm_drift_detector_spark.checks.audio import wav_canonical_pred
+
     c = _clips(spark, sf_dir)
-    n_samples = F.when(F.col("codec") == "pcm_s16le", F.floor(F.length("bytes") / 2)).when(
-        F.col("codec") == "opus", F.length("bytes")
+    wav_native = (F.col("codec") == "wav") & wav_canonical_pred()
+    n_samples = (
+        F.when(F.col("codec") == "pcm_s16le", F.floor(F.length("bytes") / 2))
+        .when(F.col("codec") == "opus", F.length("bytes"))
+        .when(wav_native, F.floor((F.length("bytes") - 44) / 2))
     )
     implied = n_samples * 1000.0 / F.col("sr_hz")
     return (
-        c.where(F.col("codec").isin("pcm_s16le", "opus"))
+        c.where(F.col("codec").isin("pcm_s16le", "opus") | wav_native)
         .where(F.abs(F.col("dur_ms") - implied) > 1.0)
         .select("clip_id", "codec")
     )
 
 
 def q_clips_audio_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full decoder check (all codecs + SNR) — mapInPandas, rows-only
-    (no SQL oracle: decode is not SQL-expressible); golden-set parity is
-    covered by tests/test_audio_check.py."""
+    """Full decoder check (all codecs + SNR) — mapInPandas.  Decode is not
+    SQL-expressible, so the oracle is a GOLDEN parquet the deterministic
+    synth generator emits at build time (synth.clips.
+    ensure_expected_audio_violations — the generator knows every planted
+    violation); the driver hash-compares against it like any SQL oracle.
+    Golden-set parity is additionally covered by tests/test_audio_check.py."""
     got = audio_invariant_violations(
         _clips(spark, sf_dir), _clips(spark, sf_dir, "clips_reference")
     )
@@ -1899,11 +1908,25 @@ def oracle_sql() -> dict[str, str]:
             JOIN {_TRANSCRIPTS} t ON c.clip_id = t.clip_id
             WHERE c.transcript IS DISTINCT FROM t.transcript
         """,
+        # Golden-parquet oracle: the synth generator emits the exact
+        # planted audio-decode violation set at build time (decode itself
+        # is not SQL-expressible) — see q_clips_audio_violations.
+        "clips_audio_violations": f"""
+            SELECT check_name, clip_id
+            FROM read_parquet('{SYNTH_SF001}/expected_audio_violations/*.parquet')
+            ORDER BY check_name, clip_id
+        """,
         "clips_dur_mismatch_bytelen": f"""
             SELECT clip_id, codec FROM {_CLIPS}
-            WHERE codec IN ('pcm_s16le', 'opus')
+            WHERE (codec IN ('pcm_s16le', 'opus')
+                   OR (codec = 'wav' AND octet_length(bytes) >= 44
+                       AND substring(hex(bytes), 1, 8) = '52494646'
+                       AND substring(hex(bytes), 17, 8) = '57415645'
+                       AND substring(hex(bytes), 73, 8) = '64617461'))
               AND abs(dur_ms - (CASE WHEN codec = 'pcm_s16le'
                                      THEN floor(octet_length(bytes) / 2)
+                                     WHEN codec = 'wav'
+                                     THEN floor((octet_length(bytes) - 44) / 2)
                                      ELSE octet_length(bytes) END) * 1000.0 / sr_hz) > 1.0
         """,
     }

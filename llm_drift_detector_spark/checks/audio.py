@@ -61,11 +61,29 @@ import pyarrow as pa
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from ..codecs import WAV_HEADER_BYTES, wav_parse
 from ..config import CODEC_WHITELIST, DUR_MS_TOLERANCE, SNR_DB_MIN
 
 AUDIO_VIOLATIONS_SCHEMA = "clip_id string, check_name string, detail string"
 
 _BYTES_PER_SAMPLE = {"pcm_s16le": 2, "opus": 1}  # length-derivable codecs
+
+
+def wav_canonical_pred() -> F.Column:
+    """Native predicate: payload is a canonical-layout wav (44-byte
+    RIFF+fmt+data header, the layout our encoder and most real writers
+    emit).  For these rows the decoded sample count is a pure JVM
+    expression on ``length(bytes)`` — no Python, no decode: a truncated
+    data chunk yields fewer available bytes, which is exactly what the
+    decoder would report.  Non-canonical wav rows (extra chunks, damaged
+    header) fall through to the chunk-walking Python decoder.
+    """
+    return (
+        (F.length("bytes") >= WAV_HEADER_BYTES)
+        & (F.substring("bytes", 1, 4) == F.lit(b"RIFF"))
+        & (F.substring("bytes", 9, 4) == F.lit(b"WAVE"))
+        & (F.substring("bytes", 37, 4) == F.lit(b"data"))
+    )
 
 
 def _decode_np(buf, codec: str) -> np.ndarray | None:
@@ -83,6 +101,13 @@ def _decode_np(buf, codec: str) -> np.ndarray | None:
         except zlib.error:
             return None
         return np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32767.0
+    if codec == "wav":
+        try:
+            data, _sr = wav_parse(bytes(buf))
+        except ValueError:
+            return None
+        n = len(data) - (len(data) % 2)
+        return np.frombuffer(data[:n], dtype="<i2").astype(np.float32) / 32767.0
     return None
 
 
@@ -109,16 +134,18 @@ def _emit(rows: list[tuple[str, str, str]]) -> Iterator[pa.RecordBatch]:
         )
 
 
-def _flac_dur_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-    """flac-only dur_ms check: decoded length needs a decompress."""
+def _decoded_dur_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    """Decode-path dur_ms check (flac needs a decompress; non-canonical
+    wav needs the chunk walker) — decoded length is not byte-derivable."""
     for b in batches:
         ids = b.column("clip_id")
         payloads = b.column("bytes")
         srs = b.column("sr_hz")
         durs = b.column("dur_ms")
+        codecs_ = b.column("codec").to_pylist()
         rows: list[tuple[str, str, str]] = []
         for i in range(b.num_rows):
-            pcm = _decode_np(payloads[i].as_py(), "flac")
+            pcm = _decode_np(payloads[i].as_py(), codecs_[i])
             if pcm is None:
                 rows.append(
                     (ids[i].as_py(), "dur_ms_mismatch", json.dumps({"error": "decode_failed"}))
@@ -213,7 +240,7 @@ def _deep_validate_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.Recor
             codec = codecs_[i]
             pcm = _decode_np(payloads[i].as_py(), codec)
             if pcm is None:
-                if codec == "flac":  # pcm/opus decode can't fail; flac can
+                if codec in ("flac", "wav"):  # pcm/opus decode can't fail
                     rows.append(
                         (ids[i].as_py(), "dur_ms_mismatch", json.dumps({"error": "decode_failed"}))
                     )
@@ -221,7 +248,7 @@ def _deep_validate_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.Recor
             sr = srs[i].as_py()
             implied = len(pcm) * 1000.0 / sr if sr else float("inf")
             if abs(durs[i].as_py() - implied) > DUR_MS_TOLERANCE:
-                if codec == "flac":  # native branch owns pcm/opus dur rows
+                if codec in ("flac", "wav"):  # native owns pcm/opus dur rows
                     rows.append(
                         (
                             ids[i].as_py(),
@@ -267,14 +294,20 @@ def audio_invariant_violations(
     cur = clips.select("clip_id", "bytes", "sr_hz", "dur_ms", "codec")
 
     # --- 1. native dur_ms for byte-length-derivable codecs (scan-only) ---
+    # Canonical wav joins the native tier: the fixed 44-byte header makes
+    # the available sample count floor((len-44)/2) — truncated files have
+    # fewer available bytes, so the same expression catches them, and the
+    # magic-bytes predicate routes anything non-canonical to the decoder.
+    wav_native = (F.col("codec") == "wav") & wav_canonical_pred()
     n_samples = (
         F.when(F.col("codec") == "pcm_s16le", F.floor(F.length("bytes") / 2))
         .when(F.col("codec") == "opus", F.length("bytes"))
+        .when(wav_native, F.floor((F.length("bytes") - WAV_HEADER_BYTES) / 2))
     )
     implied_ms = n_samples * 1000.0 / F.col("sr_hz")
     fast_codecs = list(_BYTES_PER_SAMPLE)
     native_dur = (
-        cur.where(F.col("codec").isin(fast_codecs))
+        cur.where(F.col("codec").isin(fast_codecs) | wav_native)
         .where(
             F.col("sr_hz").isNull()
             | (F.abs(F.col("dur_ms") - implied_ms) > DUR_MS_TOLERANCE)
@@ -304,12 +337,14 @@ def audio_invariant_violations(
         )
         return native_dur.unionByName(deep_viol)
 
-    # --- 3. flac dur check: scan -> (salted) -> Python, no join ---
-    flac = cur.where(F.col("codec") == "flac").select(
-        "clip_id", "bytes", "sr_hz", "dur_ms"
-    )
-    flac = flac.repartition(n, F.xxhash64("clip_id", F.lit(salt)))
-    flac_viol = flac.mapInArrow(_flac_dur_arrow, schema=AUDIO_VIOLATIONS_SCHEMA)
+    # --- 3. decode-path dur check: scan -> (salted) -> Python, no join ---
+    # flac always (length needs a decompress) + wav rows whose header is
+    # not the canonical layout (the chunk walker owns those).
+    needs_decode = cur.where(
+        (F.col("codec") == "flac") | ((F.col("codec") == "wav") & ~wav_canonical_pred())
+    ).select("clip_id", "bytes", "sr_hz", "dur_ms", "codec")
+    needs_decode = needs_decode.repartition(n, F.xxhash64("clip_id", F.lit(salt)))
+    flac_viol = needs_decode.mapInArrow(_decoded_dur_arrow, schema=AUDIO_VIOLATIONS_SCHEMA)
 
     # --- 2. hash-only join: SNR candidates without shuffling payloads ---
     ch = cur.select(

@@ -14,6 +14,12 @@ pcm_s16le  raw little-endian int16 PCM (lossless)
 flac       zlib-compressed s16le (lossless stand-in for FLAC)
 opus       8-bit mu-law companding (lossy stand-in; SQNR ~ 35-40 dB for
            the synthetic signal, above the 30 dB allclose gate)
+wav        REAL RIFF/WAVE container (PCM fmt 1, mono, 16-bit) — a genuine
+           on-disk audio format, parsed/emitted with stdlib ``struct``.
+           The encoder writes the canonical 44-byte header; the decoder
+           is a full chunk walker (accepts extra chunks, word-aligned
+           sizes, and truncated data chunks — it decodes the samples
+           actually present, like real readers do).
 
 All functions operate on float32 PCM in [-1, 1].
 Reference-parity note: the reference has no audio path at all; the
@@ -23,13 +29,16 @@ the driver mandate (BASELINE.json input_hint).
 
 from __future__ import annotations
 
+import struct
 import zlib
 
 import numpy as np
 
 MU = 255.0  # mu-law compression parameter (ITU-T G.711 uses mu=255)
 
-CODECS = ("pcm_s16le", "flac", "opus")
+CODECS = ("pcm_s16le", "flac", "opus", "wav")
+
+WAV_HEADER_BYTES = 44  # canonical RIFF+fmt+data header emitted by encode()
 
 
 # --- float <-> int16 -------------------------------------------------------
@@ -57,16 +66,85 @@ def _mulaw_decode(raw: np.ndarray) -> np.ndarray:
     return x.astype(np.float32)
 
 
+# --- RIFF/WAVE ---------------------------------------------------------------
+
+def _wav_encode(pcm: np.ndarray, sr_hz: int) -> bytes:
+    """Canonical 44-byte-header mono 16-bit PCM WAV file."""
+    data = _f32_to_s16(pcm).tobytes()
+    return b"".join(
+        (
+            b"RIFF",
+            struct.pack("<I", 36 + len(data)),
+            b"WAVE",
+            b"fmt ",
+            # fmt size, audio_format=1 (PCM), channels=1, sr, byte_rate,
+            # block_align, bits_per_sample
+            struct.pack("<IHHIIHH", 16, 1, 1, sr_hz, sr_hz * 2, 2, 16),
+            b"data",
+            struct.pack("<I", len(data)),
+            data,
+        )
+    )
+
+
+def wav_parse(payload: bytes) -> tuple[bytes, int]:
+    """RIFF/WAVE chunk walker -> (available s16le data bytes, sr_hz).
+
+    Accepts non-canonical files (extra chunks, odd-size word alignment).
+    A data chunk whose declared size exceeds the bytes present yields the
+    bytes actually present — truncated files decode to a SHORTER signal
+    (which the dur_ms check then flags) rather than erroring, matching
+    how real wav readers behave.  Raises ValueError on malformed headers
+    or unsupported layouts (non-PCM, multichannel, non-16-bit).
+    """
+    if len(payload) < 12 or payload[0:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("wav decode failed: not a RIFF/WAVE stream")
+    pos, sr = 12, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        if cid == b"fmt ":
+            if size < 16 or pos + 8 + 16 > len(payload):
+                raise ValueError("wav decode failed: short fmt chunk")
+            fmt, ch, sr_, _rate, _align, bits = struct.unpack_from(
+                "<HHIIHH", payload, pos + 8
+            )
+            if fmt != 1 or ch != 1 or bits != 16:
+                raise ValueError(
+                    f"wav decode failed: unsupported layout fmt={fmt} ch={ch} bits={bits}"
+                )
+            sr = int(sr_)
+        elif cid == b"data":
+            if sr is None:
+                raise ValueError("wav decode failed: data before fmt chunk")
+            return payload[pos + 8 : pos + 8 + size], sr
+        pos += 8 + size + (size & 1)  # chunk bodies are word-aligned
+    raise ValueError("wav decode failed: no data chunk")
+
+
+def wav_sample_rate(payload: bytes) -> int:
+    """Sample rate from the fmt chunk (header-only parse)."""
+    return wav_parse(payload)[1]
+
+
 # --- public API -------------------------------------------------------------
 
-def encode(pcm: np.ndarray, codec: str) -> bytes:
-    """float32 PCM in [-1,1] -> payload bytes for `codec`."""
+def encode(pcm: np.ndarray, codec: str, sr_hz: int | None = None) -> bytes:
+    """float32 PCM in [-1,1] -> payload bytes for `codec`.
+
+    ``sr_hz`` is required for container formats that store it (wav) and
+    ignored for raw/companded streams.
+    """
     if codec == "pcm_s16le":
         return _f32_to_s16(pcm).tobytes()
     if codec == "flac":
         return zlib.compress(_f32_to_s16(pcm).tobytes(), level=1)
     if codec == "opus":
         return _mulaw_encode(pcm).tobytes()
+    if codec == "wav":
+        if sr_hz is None:
+            raise ValueError("wav encode requires sr_hz")
+        return _wav_encode(pcm, sr_hz)
     raise ValueError(f"unknown codec: {codec}")
 
 
@@ -88,6 +166,10 @@ def decode(payload: bytes, codec: str) -> np.ndarray:
         return _s16_to_f32(np.frombuffer(raw, dtype="<i2"))
     if codec == "opus":
         return _mulaw_decode(np.frombuffer(payload, dtype=np.uint8))
+    if codec == "wav":
+        data, _sr = wav_parse(payload)  # ValueError on malformed header
+        n = len(data) - (len(data) % 2)
+        return _s16_to_f32(np.frombuffer(data[:n], dtype="<i2"))
     raise ValueError(f"unknown codec: {codec}")
 
 
@@ -99,6 +181,8 @@ def num_samples(payload: bytes, codec: str) -> int:
         return len(payload)
     if codec == "flac":
         return len(zlib.decompress(payload)) // 2
+    if codec == "wav":
+        return len(wav_parse(payload)[0]) // 2
     raise ValueError(f"unknown codec: {codec}")
 
 

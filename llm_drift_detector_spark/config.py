@@ -41,7 +41,7 @@ DISTRIBUTION_METHODS = {
 
 # --- audio payload constraints (BASELINE.json input_hint) ---
 SR_HZ_DOMAIN = (8000, 16000, 22050, 44100, 48000)
-CODEC_WHITELIST = ("pcm_s16le", "flac", "opus")
+CODEC_WHITELIST = ("pcm_s16le", "flac", "opus", "wav")
 SNR_DB_MIN = 30.0             # decoded-PCM allclose criterion
 DUR_MS_TOLERANCE = 1          # |dur_ms - samples*1000/sr| <= 1 ms
 

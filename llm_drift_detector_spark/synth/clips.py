@@ -59,6 +59,12 @@ VOCAB_ALT = tuple(w[::-1] for w in VOCAB)
 
 SR_CHOICES = np.array([8000, 16000, 22050, 44100, 48000])
 CODEC_CHOICES = ("pcm_s16le", "flac", "opus")
+# wav overlay: rows with i % 7 == 0 carry a REAL RIFF/WAVE container
+# (codecs._wav_encode) instead of the drawn codec.  Applied AFTER the rng
+# draw so every other field keeps its pre-wav value, and 7 ∤ 1000 so each
+# mod-1000 violation class gets a wav/non-wav mix (e.g. 9 of the 60
+# truncated-payload rows at sf0.01 are wav).
+WAV_EVERY = 7
 
 
 @dataclass(frozen=True)
@@ -118,6 +124,8 @@ def _base_fields(p: SynthParams, i: int) -> dict:
     dur_raw = float(np.exp(rng.normal(mu, p.dur_sigma))) * p.dur_shift
     dur_raw = min(max(dur_raw, 5.0), p.dur_max_ms)
     codec = CODEC_CHOICES[int(rng.integers(0, len(CODEC_CHOICES)))]
+    if i % WAV_EVERY == 0:
+        codec = "wav"
     n_tok = int(3 + min(dur_raw, 2000.0) // 20)
     tok_idx = rng.integers(0, len(VOCAB), size=n_tok)
     if p.vocab_swap_frac > 0.0:
@@ -145,7 +153,7 @@ def make_clean_row(p: SynthParams, i: int) -> dict:
     n_samples = max(1, round(sr * b["dur_raw"] / 1000.0))
     dur_ms = round(n_samples * 1000.0 / sr)
     pcm = make_pcm(p.seed, i, sr, n_samples)
-    payload = codecs.encode(pcm, b["codec"])
+    payload = codecs.encode(pcm, b["codec"], sr_hz=sr)
     return {
         "clip_id": b["clip_id"],
         "bytes": payload,
@@ -177,7 +185,7 @@ def make_clip_row(p: SynthParams, i: int) -> dict:
     n_samples = max(1, round(sr * b["dur_raw"] / 1000.0))
     dur_ms = round(n_samples * 1000.0 / sr)
     pcm = make_pcm(p.seed, i, sr, n_samples)
-    payload = codecs.encode(pcm, codec)
+    payload = codecs.encode(pcm, codec, sr_hz=sr)
     if i % 1000 == 17:  # truncated payload -> dur_ms mismatch
         payload = payload[: max(2, int(len(payload) * 0.6))]
     if i % 2000 == 19:  # corrupt high byte of every 20th sample -> SNR << 30
@@ -282,6 +290,39 @@ def expected_violations(p: SynthParams) -> dict[str, set[str]]:
     return out
 
 
+# audio-decode checks emitted by checks.audio.audio_invariant_violations —
+# the subset of expected_violations() the decoder pipeline owns
+AUDIO_DECODE_CHECKS = ("dur_ms_mismatch", "snr_allclose")
+
+
+def ensure_expected_audio_violations(root: str, p: SynthParams) -> str:
+    """Golden parquet of the audio-decode invariant's violation set.
+
+    Written at generation time straight from :func:`expected_violations`
+    (the generator knows every planted violation deterministically), so
+    the driver's DuckDB oracle can hash-check ``clips_audio_violations``
+    — the mandated per-row decoded-PCM invariant (BASELINE.json
+    input_hint) — even though decode itself is not SQL-expressible.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = os.path.join(root, "expected_audio_violations")
+    out_file = os.path.join(path, "part-000.parquet")
+    if os.path.exists(out_file):
+        return path
+    ev = expected_violations(p)
+    rows = [
+        {"check_name": c, "clip_id": cid}
+        for c in AUDIO_DECODE_CHECKS
+        for cid in sorted(ev[c])
+    ]
+    os.makedirs(path, exist_ok=True)
+    schema = pa.schema([("check_name", pa.string()), ("clip_id", pa.string())])
+    pq.write_table(pa.Table.from_pylist(rows, schema=schema), out_file)
+    return path
+
+
 # --- Spark-distributed generation -------------------------------------------
 
 CLIPS_SCHEMA = (
@@ -372,6 +413,7 @@ def ensure_synth_local(sf_dir: str) -> str:
     p = SynthParams(n_rows=SF_ROWS[tier])
     done = os.path.join(root, "_DONE")
     if os.path.exists(done):
+        ensure_expected_audio_violations(root, p)  # upgrade older caches
         return root
 
     def write(rows: list[dict], path: str, schema: pa.Schema) -> None:
@@ -408,6 +450,7 @@ def ensure_synth_local(sf_dir: str) -> str:
                 r["embedding"] = r["embedding"].tolist()
                 rows.append(r)
         write(rows, os.path.join(root, sub), tr_schema)
+    ensure_expected_audio_violations(root, p)
     with open(done, "w") as f:
         f.write("ok\n")
     return root
@@ -442,6 +485,7 @@ def ensure_synth(spark, sf_dir: str, partitions: int = 32) -> str:
     p = SynthParams(n_rows=SF_ROWS[tier])
     done = os.path.join(root, "_DONE")
     if os.path.exists(done):
+        ensure_expected_audio_violations(root, p)  # upgrade older caches
         return root
     os.makedirs(root, exist_ok=True)
     clean = replace(p, inject_violations=False)
@@ -451,6 +495,7 @@ def ensure_synth(spark, sf_dir: str, partitions: int = 32) -> str:
     generate_transcripts(
         spark, clean, os.path.join(root, "transcripts_reference"), partitions
     )
+    ensure_expected_audio_violations(root, p)
     with open(done, "w") as f:
         f.write("ok\n")
     return root

@@ -67,3 +67,55 @@ def test_salting_does_not_change_results(synth):
     ka = {(r.check_name, r.clip_id) for r in a.collect()}
     kb = {(r.check_name, r.clip_id) for r in b.collect()}
     assert ka == kb
+
+
+def test_wav_rows_covered_by_violation_classes(synth):
+    """The wav overlay (i%7==0) must put REAL RIFF/WAVE rows inside the
+    violation classes: truncated wav -> dur_ms_mismatch (caught by the
+    native header-math fast path), wav at out-of-domain sr ->
+    snr_allclose ref_length_mismatch.  Guards against the container
+    format silently dropping out of the validated population."""
+    import pyspark.sql.functions as F
+
+    clips = synth["clips"]
+    wav_ids = {r.clip_id for r in clips.where(F.col("codec") == "wav").collect()}
+    assert wav_ids, "synth must contain wav rows"
+    got = audio_invariant_violations(synth["clips"], synth["reference"]).collect()
+    wav_dur = {r.clip_id for r in got if r.check_name == "dur_ms_mismatch"} & wav_ids
+    wav_snr = {r.clip_id for r in got if r.check_name == "snr_allclose"} & wav_ids
+    assert wav_dur, "no wav dur_ms_mismatch rows"
+    # snr-class wav rows need i%1000==13 AND i%7==0 -> first at i=6013;
+    # present from sf0.01 up.  Assert the exact index-math prediction so
+    # the test is meaningful at every tier.
+    from llm_drift_detector_spark.synth.clips import SEED, WAV_EVERY
+
+    n = SF_ROWS["sf0.001"]
+    exp_wav_snr = {
+        f"clip-{SEED}-{i:012d}"
+        for i in range(n)
+        # (i%2000==19 rows force codec pcm_s16le, so only the
+        # sr-domain class can carry wav payloads)
+        if i % 1000 == 13 and i % WAV_EVERY == 0
+    }
+    assert wav_snr == exp_wav_snr
+
+
+def test_golden_parquet_matches_expected_sets(synth, sf_dir):
+    """The driver-oracle golden parquet (ensure_expected_audio_violations)
+    must equal expected_violations' audio subset exactly."""
+    import pyarrow.parquet as pq
+
+    from llm_drift_detector_spark.synth.clips import synth_dir_for
+
+    root = synth_dir_for(sf_dir)
+    tbl = pq.read_table(f"{root}/expected_audio_violations")
+    got: dict[str, set] = {}
+    for check, cid in zip(
+        tbl.column("check_name").to_pylist(), tbl.column("clip_id").to_pylist()
+    ):
+        got.setdefault(check, set()).add(cid)
+    exp = synth["expected"]
+    assert got == {
+        "dur_ms_mismatch": exp["dur_ms_mismatch"],
+        "snr_allclose": exp["snr_allclose"],
+    }

@@ -51,7 +51,8 @@ def test_injected_violation_classes_visible(spark, tmp_path):
     assert clips.count() == P.n_rows
     bad_sr = {r.clip_id for r in clips.where(~F.col("sr_hz").isin(8000, 16000, 22050, 44100, 48000)).collect()}
     assert bad_sr == exp["sr_hz_domain"]
-    bad_codec = {r.clip_id for r in clips.where(~F.col("codec").isin("pcm_s16le", "flac", "opus")).collect()}
+    from llm_drift_detector_spark.config import CODEC_WHITELIST
+    bad_codec = {r.clip_id for r in clips.where(~F.col("codec").isin(*CODEC_WHITELIST)).collect()}
     assert bad_codec == exp["codec_whitelist"]
     dups = {
         r.clip_id
