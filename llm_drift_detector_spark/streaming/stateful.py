@@ -75,6 +75,7 @@ def _update(
 
 
 DUP_STATE_SCHEMA = "seen array<bigint>"
+DUP_BLOOM_STATE_SCHEMA = "filter binary"
 DUP_OUTPUT_SCHEMA = "clip_id string"
 
 
@@ -83,8 +84,16 @@ def _dup_update(
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
+    """Exact-set kernel (state_mode='exact'): keeps every xxhash64 seen.
+
+    State grows 8 B/id forever AND the whole set re-serializes every
+    trigger (O(total ids) per trigger even for a tiny batch) — fine for
+    bounded backfills, a scale-killer for continuous streams.  The Bloom
+    kernel below is the continuous-mode default.
+    """
     seen = set(state.get[0]) if state.exists else set()
     flagged: list[str] = []
+    changed = False
     for pdf in pdfs:
         for cid, h in zip(pdf["clip_id"], pdf["h"]):
             h = int(h)
@@ -92,9 +101,66 @@ def _dup_update(
                 flagged.append(cid)
             else:
                 seen.add(h)
-    state.update((list(seen),))
+                changed = True
+    if changed:
+        state.update((list(seen),))
     if flagged:
         yield pd.DataFrame({"clip_id": flagged})
+
+
+def bloom_geometry(capacity: int, fpp: float) -> Tuple[int, int]:
+    """(m_bits, k_hashes) for a Bloom filter of `capacity` items at `fpp`.
+
+    Standard sizing: m = -n ln(p) / (ln 2)^2, k = (m/n) ln 2.  m is
+    rounded up to a whole byte.
+    """
+    if not (0.0 < fpp < 1.0) or capacity <= 0:
+        raise ValueError(f"bad bloom geometry: capacity={capacity} fpp={fpp}")
+    m = math.ceil(-capacity * math.log(fpp) / (math.log(2) ** 2))
+    m = ((m + 7) // 8) * 8
+    k = max(1, round(m / capacity * math.log(2)))
+    return m, k
+
+
+def _bloom_positions(h: int, m_bits: int, k: int) -> list[int]:
+    """k bit positions from one 64-bit hash via Kirsch-Mitzenmacher
+    double hashing: idx_j = (h_lo + j * h_hi) mod m."""
+    h &= (1 << 64) - 1
+    h1 = h & 0xFFFFFFFF
+    h2 = (h >> 32) | 1  # odd -> full-period stride
+    return [(h1 + j * h2) % m_bits for j in range(k)]
+
+
+def _make_bloom_dup_update(m_bits: int, k: int):
+    """Bloom kernel factory: FIXED-size per-bucket state (m_bits/8 bytes),
+    so per-trigger (de)serialization cost is O(m) constant — independent
+    of how many ids the stream has ever seen — and state.update is
+    skipped entirely on triggers that add no new bits."""
+
+    def update(
+        key: Tuple[int],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        raw = state.get[0] if state.exists else None
+        buf = bytearray(raw) if raw is not None else bytearray(m_bits // 8)
+        flagged: list[str] = []
+        changed = False
+        for pdf in pdfs:
+            for cid, h in zip(pdf["clip_id"], pdf["h"]):
+                pos = _bloom_positions(int(h), m_bits, k)
+                if all(buf[i >> 3] & (1 << (i & 7)) for i in pos):
+                    flagged.append(cid)
+                else:
+                    for i in pos:
+                        buf[i >> 3] |= 1 << (i & 7)
+                    changed = True
+        if changed:
+            state.update((bytes(buf),))
+        if flagged:
+            yield pd.DataFrame({"clip_id": flagged})
+
+    return update
 
 
 def streaming_duplicate_clips(
@@ -102,9 +168,12 @@ def streaming_duplicate_clips(
     key_col: str = "clip_id",
     n_state_buckets: int = 512,
     id_col: str | None = None,
+    state_mode: str = "bloom",
+    bloom_capacity_per_bucket: int = 100_000,
+    bloom_fpp: float = 0.01,
 ) -> DataFrame:
     """GLOBAL uniqueness in continuous mode: flag every re-occurrence of
-    a key across ALL micro-batches, exactly once per extra occurrence.
+    a key across ALL micro-batches, once per extra occurrence.
 
     The batch runner's A11 uniqueness (``checks/uniqueness.py``) is a
     full-table groupBy; foreachBatch streaming can only see one batch
@@ -112,12 +181,27 @@ def streaming_duplicate_clips(
     ``applyInPandasWithState`` keyed on a HASH BUCKET of the key — not
     the key itself — so state shards into ``n_state_buckets`` groups
     (co-grouped rows per trigger, bounded state-store key count) rather
-    than one state entry per distinct clip_id.  Per-bucket state is the
-    set of xxhash64(key) values seen (8 B/id; false-positive rate 2^-64
-    per pair).  At 10^12 ids exact state is ~8 TB across the cluster —
-    the documented evolution is a per-bucket Bloom filter in the same
-    state slot (drop `seen` to a byte array; the update kernel is the
-    only code that changes).
+    than one state entry per distinct clip_id.
+
+    state_mode:
+
+    - ``"bloom"`` (default, continuous-mode): per-bucket state is a
+      FIXED-size Bloom filter sized by ``bloom_geometry(
+      bloom_capacity_per_bucket, bloom_fpp)``.  Per-trigger state
+      rewrite cost is O(filter bytes), constant for the life of the
+      stream; total state = n_state_buckets * m/8 bytes FOREVER (the
+      defaults give 512 * ~117 KiB ≈ 60 MiB for ~51M ids at <=1% fpp).
+      Guarantee: every true duplicate is flagged (no false negatives);
+      a first occurrence may be flagged spuriously with probability
+      <= bloom_fpp while the bucket holds <= capacity distinct ids
+      (degrading gracefully beyond).  At 10^12 ids: 65536 buckets x
+      18M capacity x 0.1% fpp = 65536 * ~32 MiB ≈ 2 TiB spread over
+      the cluster's state stores — tunable to the precision/footprint
+      point the pipeline needs, vs ~8 TB *and* O(corpus) per-trigger
+      rewrite for exact state.
+    - ``"exact"``: the original xxhash64-set state (8 B/id, fp rate
+      2^-64 per pair) — exact, but state grows forever and every
+      trigger rewrites the full set; use only for bounded backfills.
 
     First occurrence of a key is NOT emitted; the 2nd, 3rd, ... each
     emit one (clip_id) row in the trigger where they arrive — a
@@ -139,10 +223,17 @@ def streaming_duplicate_clips(
         F.col(id_col or key_col).cast("string").alias("clip_id"),
         F.xxhash64(F.col(key_col)).alias("h"),
     )
+    if state_mode == "bloom":
+        m_bits, k = bloom_geometry(bloom_capacity_per_bucket, bloom_fpp)
+        kernel, schema = _make_bloom_dup_update(m_bits, k), DUP_BLOOM_STATE_SCHEMA
+    elif state_mode == "exact":
+        kernel, schema = _dup_update, DUP_STATE_SCHEMA
+    else:
+        raise ValueError(f"unknown state_mode: {state_mode}")
     return prepared.groupBy("bucket").applyInPandasWithState(
-        _dup_update,
+        kernel,
         outputStructType=DUP_OUTPUT_SCHEMA,
-        stateStructType=DUP_STATE_SCHEMA,
+        stateStructType=schema,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -148,3 +148,123 @@ def test_cross_batch_payload_duplicate_flagged(spark, tmp_path):
     q.awaitTermination()
     got = sorted(r.clip_id for r in spark.read.parquet(out).collect())
     assert got == ["c3"]
+
+
+class _FakeGroupState:
+    """Minimal GroupState stand-in for kernel-level unit tests."""
+
+    def __init__(self):
+        self._tuple = None
+        self.update_calls = 0
+
+    @property
+    def exists(self):
+        return self._tuple is not None
+
+    @property
+    def get(self):
+        return self._tuple
+
+    def update(self, t):
+        self._tuple = t
+        self.update_calls += 1
+
+
+def _run_bloom_trigger(kernel, state, ids_hashes):
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"clip_id": [c for c, _ in ids_hashes], "h": [h for _, h in ids_hashes]}
+    )
+    out = list(kernel((0,), iter([pdf]), state))
+    return sorted(out[0]["clip_id"]) if out else []
+
+
+def test_bloom_state_bytes_bounded_across_triggers():
+    """VERDICT r3 #2: per-bucket state is a FIXED byte size across >=3
+    triggers — no growth with ids seen — and a no-new-ids trigger does
+    not rewrite state at all."""
+    from llm_drift_detector_spark.streaming.stateful import (
+        _make_bloom_dup_update,
+        bloom_geometry,
+    )
+
+    m_bits, k = bloom_geometry(capacity=10_000, fpp=0.01)
+    kernel = _make_bloom_dup_update(m_bits, k)
+    state = _FakeGroupState()
+    rng_ids = [(f"c{i}", hash(f"c{i}")) for i in range(3000)]
+
+    sizes = []
+    for t in range(3):  # 1000 fresh ids per trigger
+        batch = rng_ids[t * 1000 : (t + 1) * 1000]
+        flagged = _run_bloom_trigger(kernel, state, batch)
+        assert flagged == []  # all fresh (fpp at this fill is negligible)
+        sizes.append(len(state.get[0]))
+    assert sizes == [m_bits // 8] * 3  # constant, never grows
+
+    # replay trigger 1's ids: all flagged, state NOT rewritten
+    calls_before = state.update_calls
+    flagged = _run_bloom_trigger(kernel, state, rng_ids[:1000])
+    assert len(flagged) == 1000
+    assert state.update_calls == calls_before  # no-new-bits -> no rewrite
+
+
+def test_bloom_no_false_negatives_and_fpp_bound():
+    """Every true duplicate is flagged (no false negatives); fresh ids
+    at full capacity flag at a rate close to the configured fpp."""
+    import numpy as np
+
+    from llm_drift_detector_spark.streaming.stateful import (
+        _make_bloom_dup_update,
+        bloom_geometry,
+    )
+
+    cap, fpp = 5_000, 0.01
+    m_bits, k = bloom_geometry(cap, fpp)
+    kernel = _make_bloom_dup_update(m_bits, k)
+    state = _FakeGroupState()
+    rng = np.random.default_rng(7)
+    seen = [(f"s{i}", int(rng.integers(-(2**63), 2**63))) for i in range(cap)]
+    _run_bloom_trigger(kernel, state, seen)
+
+    # no false negatives: all seen ids flag on re-occurrence
+    assert len(_run_bloom_trigger(kernel, state, seen)) == cap
+    # false positives on fresh ids bounded near fpp.  Membership is
+    # probed directly on the state bytes (running them through the
+    # kernel would INSERT each unflagged id and overfill the filter
+    # mid-measurement); 3x slack for sampling noise.
+    from llm_drift_detector_spark.streaming.stateful import _bloom_positions
+
+    buf = state.get[0]
+    fp = sum(
+        1
+        for i in range(20_000)
+        if all(
+            buf[j >> 3] & (1 << (j & 7))
+            for j in _bloom_positions(int(rng.integers(-(2**63), 2**63)), m_bits, k)
+        )
+    )
+    assert fp / 20_000 <= 3 * fpp
+
+
+def test_exact_mode_still_available(spark, tmp_path):
+    """state_mode='exact' keeps the original exact-set kernel for
+    bounded backfills."""
+    from llm_drift_detector_spark.streaming.stateful import streaming_duplicate_clips
+
+    src, out, cp = (str(tmp_path / d) for d in ("src", "out", "cp"))
+    spark.createDataFrame(
+        [("x",), ("x",), ("y",)], "clip_id string"
+    ).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("clip_id string").parquet(src)
+    q = (
+        streaming_duplicate_clips(stream, state_mode="exact")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", cp)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sorted(r.clip_id for r in spark.read.parquet(out).collect()) == ["x"]
