@@ -80,10 +80,25 @@ def audio_topk(
 
     from .dedup import audio_fingerprints
 
-    fp = (
-        fingerprints
-        if fingerprints is not None
-        else audio_fingerprints(
+    if fingerprints is not None:
+        # A stored frame built with different bands silently yields zero
+        # or garbage candidates (the band/band_sig literals would never
+        # match) — verify its band range instead (ADVICE r3).  Cheap:
+        # min/max over one int column of the stored table.  n_frames is
+        # not recoverable from the sigs; mismatches there degrade
+        # recall, which min_corr re-ranking bounds — documented caveat.
+        rng = fingerprints.agg(
+            F.min("band").alias("lo"), F.max("band").alias("hi")
+        ).collect()[0]
+        if rng.lo is not None and (rng.lo < 0 or rng.hi != bands - 1):
+            raise ValueError(
+                f"stored fingerprints band range [{rng.lo}, {rng.hi}] does not "
+                f"match bands={bands}; rebuild with audio_fingerprints(..., "
+                f"bands={bands}) or pass the matching bands="
+            )
+        fp = fingerprints
+    else:
+        fp = audio_fingerprints(
             clips,
             id_col=id_col,
             payload_col=payload_col,
@@ -91,7 +106,6 @@ def audio_topk(
             n_frames=n_frames,
             bands=bands,
         )
-    )
     cond = None
     for band_idx, sig in qsigs:
         term = (F.col("band") == band_idx) & (F.col("band_sig") == sig)

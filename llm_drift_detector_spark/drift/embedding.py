@@ -276,7 +276,13 @@ def grouped_embedding_drift(
     Input is the tagged-union shape of :func:`~.grouped.tag_windows`:
     group key columns + ``side_col`` ('ref'/'cur') + the array column.
     """
-    base = df.where(F.col(col).isNotNull()).select(
+    # size > 0 alongside the null filter: an empty array emits no
+    # posexplode rows (excluded from centroids and n_ref/n_cur) but
+    # would still reach the distance aggregate, where the cosine
+    # otherwise-branch scores it 1.0 and inflates ref_intra/cur_intra/
+    # avg_dist_to_ref — row counts, centroids, and distances must
+    # cover the same population (ADVICE r3).
+    base = df.where(F.col(col).isNotNull() & (F.size(F.col(col)) > 0)).select(
         *keys,
         (F.col(side_col) == "ref").cast("int").alias("is_ref"),
         F.col(col).alias("e"),

@@ -49,14 +49,22 @@ def vocab_difference_frame(ref: DataFrame, cur: DataFrame, col: str) -> DataFram
     c = token_counts(cur, col).withColumnRenamed("cnt", "cc")
     j = r.join(c, "token", "full_outer")
     both = F.col("cr").isNotNull() & F.col("cc").isNotNull()
-    # JS needs each side's total token count as a scalar first (frequencies
-    # are normalized by SIDE totals, semantic.py:404-407) — tiny collect.
-    totals = j.agg(
-        F.sum("cr").alias("rt"), F.sum("cc").alias("ct")
-    ).collect()[0]
-    rt, ct = float(totals.rt or 1), float(totals.ct or 1)
-    p = F.col("cr").cast("double") / rt
-    q = F.col("cc").cast("double") / ct
+    # JS normalizes frequencies by each SIDE's total token count
+    # (semantic.py:404-407).  The totals are folded in as empty-key
+    # window sums over the joined frame — ONE action for the whole
+    # helper (the r2/r3 pre-collect is gone).  The single-partition
+    # window is bounded by |vocab|, same as the grouped path's
+    # constant-key window.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    j = j.withColumn(
+        "rt", F.greatest(F.coalesce(F.sum("cr").over(w), F.lit(0)), F.lit(1))
+    ).withColumn(
+        "ct", F.greatest(F.coalesce(F.sum("cc").over(w), F.lit(0)), F.lit(1))
+    )
+    p = F.col("cr").cast("double") / F.col("rt").cast("double")
+    q = F.col("cc").cast("double") / F.col("ct").cast("double")
     m = (p + q) / 2
     js_col = F.sum(
         F.when(both, 0.5 * p * F.log(p / m + 1e-10) + 0.5 * q * F.log(q / m + 1e-10))

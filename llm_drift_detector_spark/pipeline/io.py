@@ -71,7 +71,8 @@ def write_bucket_partitioned(
 
 
 def merge_upsert(
-    spark: SparkSession, df: DataFrame, spec: str, keys: list[str]
+    spark: SparkSession, df: DataFrame, spec: str, keys: list[str],
+    order_col: str | None = None,
 ) -> None:
     """MERGE-equivalent idempotent write: a row whose key tuple already
     exists in the target is NOT inserted again (WHEN NOT MATCHED THEN
@@ -82,10 +83,27 @@ def merge_upsert(
     the parquet fallback: left-anti join against the existing keys, then
     append.  The fallback is idempotent but not atomic across concurrent
     writers; Iceberg's snapshot commit is, which is why the catalog is
-    the mandated target at scale."""
+    the mandated target at scale.
+
+    In-batch duplicate keys: pass ``order_col`` (ts/updated_at) to keep
+    the LATEST row per key deterministically (row_number over the keys,
+    ordered by it descending).  Without it, same-key rows in one batch
+    MUST be identical — dropDuplicates keeps an arbitrary one, so two
+    differing rows would yield a partitioning-dependent survivor.
+    """
     # duplicate keys WITHIN the batch would be inserted twice by both
     # paths (MERGE only guards against target matches) — collapse first
-    df = df.dropDuplicates(keys)
+    if order_col is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
+        df = (
+            df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    else:
+        df = df.dropDuplicates(keys)
     if spec.startswith("table:"):
         name = spec[len("table:"):]
         df.createOrReplaceTempView("_merge_src")

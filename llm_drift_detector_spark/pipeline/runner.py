@@ -416,10 +416,14 @@ def run_validation(
     # the checkpointed path runs it ONCE over the full input when this
     # call completes the run; overwrite into a per-run_id group dir
     # makes a resume idempotent.
+    # Written to a SIBLING of violations/ — a group=<string> subdir
+    # inside violations/ would flip partition discovery's inferred type
+    # for `group` from int to string across the whole dataset, silently
+    # breaking readers that filter group numerically (ADVICE r3).
     payload_dup_count = None
     if cfg.check_active("payload_duplicate") and not still_pending:
         pd_path = os.path.join(
-            cfg.out_dir, "violations", f"group=payload_global_{cfg.run_id}"
+            cfg.out_dir, "payload_violations", f"run={cfg.run_id}"
         )
         if not _path_exists(spark, os.path.join(pd_path, "_SUCCESS")):
             _payload_duplicate_rows(clips, cfg).withColumn(

@@ -337,9 +337,16 @@ def test_payload_duplicate_cross_group_in_checkpointed_runner(spark, tmp_path):
     )
     summary = run_validation(spark, clips, empty_t, clips, cfg)
     assert summary["payload_duplicate_rows"] == 1
-    vio = spark.read.parquet(str(tmp_path / "out" / "violations"))
+    # payload rows land in a SIBLING of violations/ so the violations
+    # group= partition column keeps its integer type (ADVICE r3)
+    vio = spark.read.parquet(str(tmp_path / "out" / "payload_violations"))
     flagged = vio.where(F.col("check_name") == "payload_duplicate").collect()
     assert [r.clip_id for r in flagged] == [max(id_a, id_b)]
+    # and the violations/ partition column stays numeric-typed
+    viodir = tmp_path / "out" / "violations"
+    if viodir.exists():
+        vtypes = dict(spark.read.parquet(str(viodir)).dtypes)
+        assert vtypes.get("group", "int") in ("int", "bigint")
     # idempotent on resume: re-running does not duplicate the rows
     summary2 = run_validation(spark, clips, empty_t, clips, cfg)
     assert summary2["payload_duplicate_rows"] == 1
@@ -551,3 +558,27 @@ def test_containment_matches_across_sample_rates(spark):
     assert {r.id_a, r.id_b} == {"hi16", "lo8"}
     assert r.corr > 0.9
     assert r.overlap_s == pytest.approx(2.0, abs=0.05)
+
+
+def test_audio_topk_rejects_mismatched_stored_fingerprints(spark, dup_clips):
+    """ADVICE r3: a stored fingerprint frame built with different bands
+    must raise, not silently return zero/garbage candidates."""
+    from llm_drift_detector_spark.audioops import audio_topk
+    from llm_drift_detector_spark.audioops.dedup import audio_fingerprints
+
+    stored = audio_fingerprints(dup_clips, bands=4)
+    base = make_pcm(7, 0, SR, SR)
+    query = codecs.encode((0.7 * base).astype(np.float32), "opus")
+    with pytest.raises(ValueError, match="band range"):
+        audio_topk(dup_clips, query, "opus", bands=8, fingerprints=stored)
+    # matching geometry passes through: an exact-payload query (its
+    # fingerprint is bit-identical to the stored a0 sigs at ANY band
+    # count) retrieves the recording.  (The re-encoded query needs the
+    # finer 8-band split to survive mu-law sign flips — with 4 bands a
+    # single flipped frame kills a whole band sig, which is exactly why
+    # geometry mismatches must raise instead of degrading silently.)
+    exact = codecs.encode(base, "pcm_s16le")
+    got = audio_topk(
+        dup_clips, exact, "pcm_s16le", bands=4, min_corr=0.9, fingerprints=stored
+    ).collect()
+    assert "a0" in {r.clip_id for r in got}

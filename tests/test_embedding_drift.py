@@ -194,3 +194,28 @@ def test_high_dim_centroid_exploded_path(spark):
     # spot-check agreement with the low-d aggregate plan on a slice
     row = centroid_frame(df, "embedding", 4).collect()[0]
     assert np.allclose([row[f"avg_{i}"] for i in range(4)], got[:4], atol=1e-12)
+
+
+def test_grouped_embedding_drift_ignores_empty_arrays(spark):
+    """ADVICE r3: zero-length embedding arrays must be excluded from the
+    WHOLE population (counts, centroids, AND the distance aggregates) —
+    before the fix they skipped posexplode but still hit the distance
+    pass, where the cosine otherwise-branch scored them 1.0."""
+    from llm_drift_detector_spark.drift.embedding import grouped_embedding_drift
+    from llm_drift_detector_spark.drift.grouped import tag_windows
+
+    rng = np.random.default_rng(11)
+    vecs = [rng.standard_normal(8).tolist() for _ in range(24)]
+    clean_rows = [("g", "ref", v) for v in vecs[:12]] + [
+        ("g", "cur", v) for v in vecs[12:]
+    ]
+    ddl = "grp string, side string, embedding array<double>"
+    clean = spark.createDataFrame(clean_rows, ddl)
+    dirty = spark.createDataFrame(
+        clean_rows + [("g", "ref", []), ("g", "cur", [])], ddl
+    )
+    a = grouped_embedding_drift(clean, ["grp"], "embedding").collect()[0]
+    b = grouped_embedding_drift(dirty, ["grp"], "embedding").collect()[0]
+    assert (b.n_ref, b.n_cur) == (a.n_ref, a.n_cur) == (12, 12)
+    for f in ("centroid_distance", "avg_dist_to_ref", "ref_intra", "cur_intra", "drift_score"):
+        assert abs(getattr(a, f) - getattr(b, f)) < 1e-12, f

@@ -305,3 +305,33 @@ def test_fused_detectors_handle_empty_windows(spark):
     empty_text = spark.createDataFrame([], "transcript string")
     res3 = lexical_drift(empty_text, empty_text, "transcript")
     assert res3["gated"] and res3["drift_score"] == 0.0
+
+
+def test_vocab_difference_frame_zero_build_actions(spark, monkeypatch):
+    """VERDICT r3 #9: the oracle-frame helper no longer pre-collects
+    side totals — building the frame runs ZERO actions (totals are
+    window sums inside the plan), so evaluating it is one action."""
+    from llm_drift_detector_spark.drift.lexical import vocab_difference_frame
+
+    ra = spark.createDataFrame(
+        [("the cat sat on the mat",)] * 6, "transcript string"
+    )
+    rb = spark.createDataFrame(
+        [("the dog ran in the park",)] * 5, "transcript string"
+    )
+    cls = type(ra)
+    calls = {"n": 0}
+    orig = cls.collect
+
+    def counting(self):
+        calls["n"] += 1
+        return orig(self)
+
+    monkeypatch.setattr(cls, "collect", counting)
+    frame = vocab_difference_frame(ra, rb, "transcript")
+    assert calls["n"] == 0  # plan built, nothing executed
+    row = frame.collect()[0]
+    assert calls["n"] == 1
+    # one shared token ('the'); union 9 distinct -> jaccard = 1 - 1/9
+    assert abs(row.jaccard - (1.0 - 1.0 / 9.0)) < 1e-9
+    assert row.ref_vocab == 5 and row.cur_vocab == 5

@@ -373,3 +373,24 @@ def test_grouped_drift_lands_in_metrics(spark, tables, tmp_path):
     for r in m:
         if r.metric_name in ("js_divergence", "psi"):
             assert not r.drift_detected, (r.metric_name, r.details)
+
+
+def test_merge_upsert_order_col_keeps_latest_deterministically(spark, tmp_path):
+    """ADVICE r3: with differing same-key rows in one batch, order_col
+    picks the LATEST row per key (row_number over keys), not an
+    arbitrary partitioning-dependent survivor."""
+    from llm_drift_detector_spark.pipeline.io import merge_upsert
+
+    path = str(tmp_path / "mu_ord")
+    df = spark.createDataFrame(
+        [(1, "old", 10), (1, "new", 20), (2, "only", 5)],
+        "k int, v string, updated_at int",
+    ).repartition(4)
+    merge_upsert(spark, df, path, ["k"], order_col="updated_at")
+    got = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert got == {1: "new", 2: "only"}
+    # idempotent: a second upsert with an older row does not overwrite
+    df2 = spark.createDataFrame([(1, "older", 1)], "k int, v string, updated_at int")
+    merge_upsert(spark, df2, path, ["k"], order_col="updated_at")
+    got2 = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert got2 == {1: "new", 2: "only"}
