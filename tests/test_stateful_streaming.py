@@ -268,3 +268,74 @@ def test_exact_mode_still_available(spark, tmp_path):
     )
     q.awaitTermination()
     assert sorted(r.clip_id for r in spark.read.parquet(out).collect()) == ["x"]
+
+
+def test_stream_drift_flags_only_the_shifted_microbatch(spark, tmp_path):
+    """VERDICT r3 #5: per-micro-batch binned drift vs a frozen reference
+    profile — a planted mean shift in batch 2 flips drift_detected in
+    THAT batch's metrics row and nowhere else."""
+    import numpy as np
+
+    from llm_drift_detector_spark.streaming import reference_profile, stream_drift
+
+    src, out = str(tmp_path / "src"), str(tmp_path / "out")
+    rng = np.random.default_rng(21)
+    ref = spark.createDataFrame(
+        [(float(v),) for v in rng.normal(100, 10, 4000)], "dur_ms double"
+    )
+    prof = reference_profile(ref, "dur_ms", nbins=30, psi_nbins=10)
+    assert prof["n"] == 4000 and len(prof["edges"]) == 9
+
+    batches = [
+        rng.normal(100, 10, 800),   # batch 1: same distribution
+        rng.normal(160, 10, 800),   # batch 2: planted mean shift
+        rng.normal(100, 10, 800),   # batch 3: back to normal
+    ]
+    for i, b in enumerate(batches, 1):
+        spark.createDataFrame(
+            [(float(v),) for v in b], "dur_ms double"
+        ).coalesce(1).write.parquet(f"{src}/batch={i}")
+
+    stream_drift(
+        spark,
+        src + "/batch=*",
+        prof,
+        out,
+        schema="dur_ms double",
+        max_files_per_trigger=1,
+    )
+    rows = sorted(
+        spark.read.parquet(f"{out}/drift_metrics").collect(), key=lambda r: r.epoch
+    )
+    assert len(rows) == 3
+    flags = [r.drift_detected for r in rows]
+    assert flags == [False, True, False], [
+        (r.epoch, r.js, r.psi, r.drift_score) for r in rows
+    ]
+    shifted = rows[1]
+    assert shifted.n == 800 and abs(shifted.batch_mean - 160) < 2
+    assert shifted.js > rows[0].js and shifted.psi > rows[0].psi
+    assert not any(r.gated for r in rows)
+
+
+def test_stream_drift_gates_tiny_batches(spark, tmp_path):
+    """A micro-batch below min_samples is gated: metrics zeroed, no
+    drift verdict."""
+    import numpy as np
+
+    from llm_drift_detector_spark.streaming import reference_profile, stream_drift
+
+    src, out = str(tmp_path / "src"), str(tmp_path / "out")
+    rng = np.random.default_rng(5)
+    ref = spark.createDataFrame(
+        [(float(v),) for v in rng.normal(50, 5, 1000)], "v double"
+    )
+    prof = reference_profile(ref, "v", nbins=20, psi_nbins=4)
+    spark.createDataFrame(
+        [(999.0,), (1000.0,)], "v double"
+    ).coalesce(1).write.parquet(f"{src}/b1")
+    stream_drift(spark, src + "/b*", prof, out, schema="v double")
+    rows = spark.read.parquet(f"{out}/drift_metrics").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.gated and not r.drift_detected and r.drift_score == 0.0
