@@ -62,6 +62,12 @@ def main(argv: list[str] | None = None) -> int:
         help="containment mode: minimum verified overlap seconds",
     )
     p.add_argument(
+        "--max-scales", type=int, default=1,
+        help="containment mode: multi-resolution scale count (scale s "
+        "halves the window s times; covers clips shorter than one "
+        "window at the cost of ~max_scales x shingle FFT work)",
+    )
+    p.add_argument(
         "--keep-clips", action="store_true",
         help="also write the deduplicated clips table (rewrites payloads)",
     )
@@ -117,14 +123,30 @@ def main(argv: list[str] | None = None) -> int:
                 os.path.join(args.out, "kept")
             ).count()
     elif args.mode == "containment":
-        from llm_drift_detector_spark.audioops import audio_containment_pairs
+        from llm_drift_detector_spark.audioops import (
+            audio_containment_pairs,
+            containment_coverage,
+        )
 
+        # coverage probe first (native, no decode): surfaces the
+        # sub-window population the shingle stage cannot see, so a low
+        # pair count is attributable instead of silent
+        cov = containment_coverage(
+            clips, window_s=args.window_s, max_scales=args.max_scales
+        ).collect()[0]
+        summary["coverage"] = {
+            "clips": cov.clips,
+            "covered": cov.covered,
+            "short_clips_skipped": cov.short_clips_skipped,
+            "coverage": cov.coverage,
+        }
         pairs = audio_containment_pairs(
             clips,
             max_bucket_size=args.max_bucket_size,
             min_corr=min_corr,
             min_overlap_s=args.min_overlap_s,
             window_s=args.window_s,
+            max_scales=args.max_scales,
         )
         pairs.write.mode("overwrite").parquet(os.path.join(args.out, "pairs"))
         summary["pairs"] = spark.read.parquet(

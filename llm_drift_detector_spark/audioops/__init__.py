@@ -20,6 +20,7 @@ from .dedup import (
 )
 from .containment import (
     audio_containment_pairs,
+    containment_coverage,
     audio_spectral_shingles,
     spectral_candidates,
     verify_containment_pairs,
@@ -29,6 +30,7 @@ from .retrieval import audio_topk
 
 __all__ = [
     "audio_containment_pairs",
+    "containment_coverage",
     "cross_modal_duplicate_pairs",
     "text_duplicate_pairs",
     "audio_duplicate_pairs",

@@ -48,36 +48,92 @@ SPECTRAL_WINDOW_S = 0.25  # analysis window in SECONDS (sr-independent
                           # recording at two rates would never collide)
 SPECTRAL_TOPK = 3         # peak bins per window
 FREQ_QUANT_HZ = 8.0       # absolute-Hz quantization of peak frequencies
+MIN_WINDOW_SAMPLES = 16   # floor for the finest multi-resolution scale
 
 
 def _spectral_sigs(
-    pcm: np.ndarray, sr: int, window_s: float = SPECTRAL_WINDOW_S
+    pcm: np.ndarray,
+    sr: int,
+    window_s: float = SPECTRAL_WINDOW_S,
+    max_scales: int = 1,
 ) -> set[str]:
     """Shift-invariant signature set for one decoded clip.
 
-    Clips shorter than one window emit nothing — a trim of a
-    sub-window clip is not a meaningful containment relationship; size
-    ``window_s`` to the corpus (it must be well under typical clip
-    duration for coverage, and long enough for the FFT to resolve
-    FREQ_QUANT_HZ)."""
+    Multi-resolution (VERDICT r3 #7): signatures are emitted at a
+    LADDER of scales — scale s uses window ``window_s / 2**s`` — for
+    every scale 0..max_scales-1 whose window fits the clip (and is at
+    least MIN_WINDOW_SAMPLES).  Sigs are tagged ``<scale>:...`` so only
+    same-scale signatures collide; a LONG source emits every scale, so
+    a short trimmed copy that only fits the finer windows still shares
+    its scale's sigs with the source.  Per-scale FFT work is roughly
+    constant (windows double in count but halve in size), so
+    ``max_scales=k`` costs ~k of the single-scale pass.
+
+    With max_scales=1 (default), clips shorter than one window emit
+    nothing — :func:`containment_coverage` makes that skipped
+    population visible so the gap is an explicit metric, not a silent
+    hole.  Fine scales trade frequency resolution for coverage: below
+    ~FREQ_QUANT_HZ resolution the quantization gets coarser (more
+    spurious collisions — the verifier gates them) and cross-sample-rate
+    collisions weaken; cross-sr containment is a scale-0 feature.
+    """
     if not sr:
         return set()
-    w = int(sr * window_s)
     n = len(pcm)
-    if n < w or w < 8:
-        return set()
-    x = pcm.astype(np.float64)
-    nfft = 1 << (w - 1).bit_length()  # zero-pad to pow2 for FFT speed
-    hann = np.hanning(w)
+    x = None
     sigs: set[str] = set()
-    for start in range(0, n - w + 1, w // 2):
-        mag = np.abs(np.fft.rfft(x[start : start + w] * hann, nfft))
-        peaks = np.argsort(mag)[-SPECTRAL_TOPK:]
-        qf = sorted(
-            int(round(p * sr / nfft / FREQ_QUANT_HZ)) for p in peaks
-        )
-        sigs.add("-".join(str(q) for q in qf))
+    for scale in range(max(1, max_scales)):
+        w = int(sr * window_s) >> scale
+        if w < MIN_WINDOW_SAMPLES:
+            break
+        if n < w:
+            continue
+        if x is None:
+            x = pcm.astype(np.float64)
+        nfft = 1 << (w - 1).bit_length()  # zero-pad to pow2 for FFT speed
+        hann = np.hanning(w)
+        for start in range(0, n - w + 1, w // 2):
+            mag = np.abs(np.fft.rfft(x[start : start + w] * hann, nfft))
+            peaks = np.argsort(mag)[-SPECTRAL_TOPK:]
+            qf = sorted(
+                int(round(p * sr / nfft / FREQ_QUANT_HZ)) for p in peaks
+            )
+            sigs.add(f"{scale}:" + "-".join(str(q) for q in qf))
     return sigs
+
+
+def containment_coverage(
+    clips: DataFrame,
+    window_s: float = SPECTRAL_WINDOW_S,
+    max_scales: int = 1,
+    sr_col: str = "sr_hz",
+    dur_col: str = "dur_ms",
+) -> DataFrame:
+    """One row: (clips, covered, short_clips_skipped, coverage) — how
+    much of the corpus the shingle stage can see at this geometry.
+
+    Fully native (derived from sr/dur, no decode): a clip is covered iff
+    it fits at least the FINEST scale's window.  Run this before a
+    containment job to size ``window_s``/``max_scales`` to the corpus —
+    the sf0.01 probe that motivated multi-resolution found only ~1% of
+    clips exceeded the single 250 ms window."""
+    finest_w = (F.col(sr_col) * F.lit(window_s)).cast("double") / F.lit(
+        1 << (max(1, max_scales) - 1)
+    )
+    n_samples = F.col(sr_col).cast("double") * F.col(dur_col) / 1000.0
+    covered = (
+        (n_samples >= finest_w)
+        & (finest_w >= MIN_WINDOW_SAMPLES)
+        & F.col(sr_col).isNotNull()
+    ).cast("int")
+    return clips.agg(
+        F.count("*").cast("bigint").alias("clips"),
+        F.sum(covered).cast("bigint").alias("covered"),
+        (F.count("*") - F.sum(covered)).cast("bigint").alias("short_clips_skipped"),
+        F.round(F.sum(covered) / F.greatest(F.count("*"), F.lit(1)), 4).alias(
+            "coverage"
+        ),
+    )
 
 
 def audio_spectral_shingles(
@@ -90,8 +146,11 @@ def audio_spectral_shingles(
     n_partitions: int | None = None,
     salt: int = 41,
     window_s: float = SPECTRAL_WINDOW_S,
+    max_scales: int = 1,
 ) -> DataFrame:
-    """(id, sig) distinct spectral signatures, decoded scan-side."""
+    """(id, sig) distinct spectral signatures, decoded scan-side.
+    ``max_scales`` > 1 adds finer scale-tagged windows for short-clip
+    coverage (see :func:`_spectral_sigs`)."""
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for b in batches:
@@ -106,7 +165,7 @@ def audio_spectral_shingles(
                 if pcm is None:
                     continue
                 cid = ids[i].as_py()
-                for sig in _spectral_sigs(pcm, srs[i] or 0, window_s):
+                for sig in _spectral_sigs(pcm, srs[i] or 0, window_s, max_scales):
                     out_id.append(cid)
                     out_sig.append(sig)
             if out_id:
@@ -286,6 +345,7 @@ def audio_containment_pairs(
     min_corr: float = 0.9,
     min_overlap_s: float = 0.25,
     window_s: float = SPECTRAL_WINDOW_S,
+    max_scales: int = 1,
     id_col: str = "clip_id",
     payload_col: str = "bytes",
     codec_col: str = "codec",
@@ -306,7 +366,7 @@ def audio_containment_pairs(
         id_col=id_col, payload_col=payload_col, codec_col=codec_col, sr_col=sr_col
     )
     sh = audio_spectral_shingles(
-        clips, window_s=window_s, **cols, **shingle_kwargs
+        clips, window_s=window_s, max_scales=max_scales, **cols, **shingle_kwargs
     ).persist()
     cands = spectral_candidates(
         sh, min_shared=min_shared, max_bucket_size=max_bucket_size

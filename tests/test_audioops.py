@@ -648,3 +648,53 @@ def test_checkpointed_dedup_resumes_without_recomputing_fingerprints(
         spark, poisoned, ckpt, run_id="r2"
     ).collect()
     assert fresh == []
+
+
+def test_multiresolution_recovers_subwindow_trim(spark):
+    """VERDICT r3 #7: a planted trim SHORTER than the base 250 ms window
+    is invisible at max_scales=1 but recovered at max_scales=2 (the
+    source emits the finer scale's sigs too, so the short copy collides
+    at its own scale), with the exact lag."""
+    from llm_drift_detector_spark.audioops import audio_containment_pairs
+
+    delta = 2251
+    base = make_pcm(81, 0, SR, 2 * SR)
+    # 150 ms slice: shorter than 250 ms (scale 0), longer than 125 ms
+    # (scale 1); re-gained
+    seg = (0.7 * base[delta : delta + int(0.15 * SR)]).astype(np.float32)
+    rows = [
+        _row("orig", base, "pcm_s16le"),
+        _row("short_trim", seg, "pcm_s16le"),
+    ] + [_row(f"u{i}", make_pcm(82, i, SR, 2 * SR), "pcm_s16le") for i in range(6)]
+    clips = spark.createDataFrame(rows, CLIPS_DDL)
+
+    blind = audio_containment_pairs(clips, min_overlap_s=0.1).collect()
+    assert not any({r.id_a, r.id_b} == {"orig", "short_trim"} for r in blind)
+
+    got = audio_containment_pairs(clips, min_overlap_s=0.1, max_scales=2).collect()
+    hits = [r for r in got if {r.id_a, r.id_b} == {"orig", "short_trim"}]
+    assert len(hits) == 1
+    r = hits[0]
+    assert r.corr > 0.999 and abs(abs(r.lag_samples) - delta) <= 2
+    assert r.overlap_s == pytest.approx(0.15, abs=0.01)
+
+
+def test_containment_coverage_metric(spark):
+    """The native coverage probe reports the sub-window population at
+    each geometry — the skipped tail is an explicit metric."""
+    from llm_drift_detector_spark.audioops import containment_coverage
+
+    rows = [
+        _row("long", make_pcm(91, 0, SR, SR), "pcm_s16le"),            # 1 s
+        _row("mid", make_pcm(91, 1, SR, int(0.15 * SR)), "pcm_s16le"),  # 150 ms
+        _row("tiny", make_pcm(91, 2, SR, int(0.05 * SR)), "pcm_s16le"), # 50 ms
+    ]
+    clips = spark.createDataFrame(rows, CLIPS_DDL)
+    c1 = containment_coverage(clips, max_scales=1).collect()[0]
+    assert (c1.clips, c1.covered, c1.short_clips_skipped) == (3, 1, 2)
+    c2 = containment_coverage(clips, max_scales=2).collect()[0]
+    assert (c2.covered, c2.short_clips_skipped) == (2, 1)
+    c3 = containment_coverage(clips, max_scales=3).collect()[0]
+    assert c3.covered == 2  # 62.5 ms window still misses the 50 ms clip
+    c4 = containment_coverage(clips, max_scales=4).collect()[0]
+    assert c4.covered == 3 and c4.coverage == 1.0
