@@ -16,6 +16,8 @@ from .quality import (  # noqa: F401
 )
 from .similarity import (  # noqa: F401
     cosine_near_duplicates,
+    ivf_build_index,
+    ivf_topk_indexed,
     kmeans_fit,
     topk_brute,
     topk_ivf,

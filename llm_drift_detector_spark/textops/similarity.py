@@ -268,3 +268,77 @@ def cosine_near_duplicates(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def ivf_build_index(
+    df: DataFrame,
+    id_col: str,
+    col: str,
+    index_dir: str,
+    n_clusters: int = 16,
+    seed: int = 7,
+    iters: int = 3,
+) -> np.ndarray:
+    """Persist an IVF index: fit once, search many (VERDICT r3 #8).
+
+    Writes under ``index_dir``:
+
+    - ``centroids/``    (j int, c array<double>) — the coarse quantizer;
+    - ``assignments/``  (id, e) parquet PARTITIONED BY cluster — each
+      row stored under its nearest centroid's partition.
+
+    Query-time (:func:`ivf_topk_indexed`) is then a tiny centroid read
+    plus a cluster-partition-pruned scan: the ``_nearest_centroid``
+    assignment expression and the k-means fit never run again.  At
+    10^12 rows the assignments table IS the Iceberg table partitioned
+    by cluster id; nprobe partitions are the only data touched.
+
+    Returns the fitted centroid matrix (for callers chaining a query in
+    the same session).
+    """
+    spark = df.sparkSession
+    centroids = kmeans_fit(df, col, k=n_clusters, iters=iters, seed=seed)
+    cent_rows = [(int(j), [float(v) for v in c]) for j, c in enumerate(centroids)]
+    spark.createDataFrame(cent_rows, "j int, c array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    (
+        df.where(F.col(col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(col).cast("array<double>").alias("e"),
+            _nearest_centroid(col, centroids).alias("cluster"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(f"{index_dir}/assignments")
+    )
+    return centroids
+
+
+def ivf_topk_indexed(
+    spark,
+    index_dir: str,
+    query: np.ndarray,
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Top-k over a persisted IVF index: centroid scan (driver, ~KB) +
+    partition-pruned cosine re-rank over the nprobe nearest clusters.
+
+    No fit, no assignment expression — cluster membership was committed
+    at build time, and ``cluster`` is a PARTITION column, so the filter
+    prunes at file-listing time (plan-asserted in tests)."""
+    cent = sorted(
+        spark.read.parquet(f"{index_dir}/centroids").collect(), key=lambda r: r.j
+    )
+    centroids = np.array([r.c for r in cent], dtype=np.float64)
+    d2 = ((centroids - np.asarray(query, dtype=np.float64)[None, :]) ** 2).sum(axis=1)
+    probes = [int(j) for j in np.argsort(d2)[:nprobe]]
+    return (
+        spark.read.parquet(f"{index_dir}/assignments")
+        .where(F.col("cluster").isin(probes))
+        .select(F.col("id"), cosine_to_query("e", query).alias("cosine"))
+        .orderBy(F.desc("cosine"), "id")
+        .limit(k)
+    )
