@@ -263,96 +263,145 @@ def grouped_distribution_drift_binned(
     )
 
     # --- stage 2: bin every row against its group's range -----------------
-    stats_b = F.broadcast(st.select(*keys, "mn", "mx", "edges"))
+    # The broadcast carries ALL of st's columns (not just mn/mx/edges):
+    # the per-(key, grid, bin) aggregate below re-emits them via first(),
+    # so stage 3 never references st again and the stats aggregate — a
+    # full pass over `base` — executes ONCE instead of twice.  (The two
+    # old st subtrees had different projections, so Spark's exchange
+    # reuse could not deduplicate them; r3's bench carried the second
+    # pass as a measured regression.)
+    st_cols = [
+        "n_ref", "n_cur", "mn", "mx",
+        "mean_ref", "var_ref", "mean_cur", "var_cur", "range_ref", "range_cur",
+    ]
+    stats_b = F.broadcast(st)
     joined = base.join(stats_b, keys)
     w = (F.col("mx") - F.col("mn")) / nbins
     js_bin = F.when(
         F.col("mx") > F.col("mn"),
         F.least(F.floor((F.col("v") - F.col("mn")) / w), F.lit(nbins - 1)),
     ).otherwise(F.lit(0))
-    psi_bin = F.aggregate(
-        F.col("edges"),
+    # coalesce: a one-sided group (n_ref = 0) has NULL edges -> NULL
+    # bucket, which stage 3's count map cannot key on.  Bucket 0 is
+    # arbitrary but unobservable — n_ref = 0 groups are min-sample
+    # gated, so their psi is zeroed before the caller sees it.
+    psi_bin = F.coalesce(
+        F.aggregate(
+            F.col("edges"),
+            F.lit(0),
+            lambda acc, e: acc + (F.col("v") > e).cast("int"),
+        ),
         F.lit(0),
-        lambda acc, e: acc + (F.col("v") > e).cast("int"),
     )
     pairs = F.array(
         F.struct(F.lit(0).alias("__g"), js_bin.cast("int").alias("__bin")),
         F.struct(F.lit(1).alias("__g"), psi_bin.cast("int").alias("__bin")),
     )
     counts = (
-        joined.select(*keys, "is_ref", F.explode(pairs).alias("gb"))
+        joined.select(*keys, *st_cols, "is_ref", F.explode(pairs).alias("gb"))
         .groupBy(*keys, F.col("gb.__g").alias("__g"), F.col("gb.__bin").alias("__bin"))
         .agg(
             F.sum("is_ref").alias("cr"),
             F.sum(1 - F.col("is_ref")).alias("cc"),
+            # constant within a group (broadcast-joined): ride the
+            # map-side combine, ~free after partial aggregation
+            *[F.first(c).alias(c) for c in st_cols],
         )
     )
 
-    # --- stage 3: densify bins, native reductions per group ---------------
-    spark = df.sparkSession
-    bins = spark.range(nbins).select(
-        F.lit(0).alias("__g"), F.col("id").cast("int").alias("__bin")
-    ).unionAll(
-        spark.range(psi_nbins).select(
-            F.lit(1).alias("__g"), F.col("id").cast("int").alias("__bin")
-        )
-    )
-    # carry ALL per-group stats through the bins frame so the final
-    # reduction needs no extra join back to st (st still executes twice —
-    # once here, once inside the binning broadcast — vs three times in
-    # the naive dense+join-metrics shape)
-    st_cols = [
-        "n_ref", "n_cur", "mn", "mx",
-        "mean_ref", "var_ref", "mean_cur", "var_cur", "range_ref", "range_cur",
-    ]
-    dense = (
-        st.select(*keys, *st_cols)
-        .join(F.broadcast(bins), how="cross")
-        .join(counts, [*keys, "__g", "__bin"], "left")
-        .fillna(0, subset=["cr", "cc"])
+    # --- stage 3: per-group array reductions (one row per group) ----------
+    # The sparse (grid, bin) counts collapse into ONE map per group; the
+    # dense grids are then F.sequence/F.transform arrays and the binned
+    # ECDF is a single F.aggregate running ascending-bin (the same
+    # accumulation order the old windowed cumsum used).  vs the previous
+    # bins-frame shape this drops the cross join, the left join, and
+    # both window passes — and nothing downstream consumes `counts`
+    # twice, so the base data is scanned exactly twice total (stats +
+    # binning), with arithmetic (epsilons, normalization, summation
+    # order) bit-identical to the windowed form (oracle-checked).
+    _K = 100_000  # map key = __g * _K + __bin
+
+    gstats = counts.groupBy(*keys).agg(
+        *[F.first(c).alias(c) for c in st_cols],
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    (F.col("__g") * _K + F.col("__bin")).cast("int").alias("k"),
+                    F.struct(F.col("cr"), F.col("cc")).alias("v"),
+                )
+            )
+        ).alias("__m"),
     )
     width = (F.col("mx") - F.col("mn")) / nbins
+
+    def _cnt(g: int, b, side: str):
+        e = F.element_at(F.col("__m"), (F.lit(g * _K) + b).cast("int"))
+        return F.coalesce(e[side].cast("double"), F.lit(0.0))
+
     # try_divide everywhere a group can be one-sided (e.g. a violation
     # class present only in the CURRENT window -> n_ref = 0): ANSI mode
-    # raises DIVIDE_BY_ZERO otherwise; the nulls land only in rows the
+    # raises DIVIDE_BY_ZERO otherwise; the nulls land only in values the
     # min-sample gate zeroes at the end.
-    # JS grid densities (g=0): count/(n*w) + eps, renormalized per side
-    dens_r = F.try_divide(F.col("cr"), F.col("n_ref") * width) + F.lit(EPS)
-    dens_c = F.try_divide(F.col("cc"), F.col("n_cur") * width) + F.lit(EPS)
-    grp = Window.partitionBy(*keys, "__g")
-    p0 = F.try_divide(dens_r, F.sum(dens_r).over(grp))
-    q0 = F.try_divide(dens_c, F.sum(dens_c).over(grp))
-    # PSI grid probabilities (g=1)
-    p1 = (F.try_divide(F.col("cr"), F.sum("cr").over(grp)) + EPS) / (1.0 + psi_nbins * EPS)
-    q1 = (F.try_divide(F.col("cc"), F.sum("cc").over(grp)) + EPS) / (1.0 + psi_nbins * EPS)
-    cum = Window.partitionBy(*keys, "__g").orderBy("__bin").rowsBetween(
-        Window.unboundedPreceding, 0
+    bins0 = F.sequence(F.lit(0), F.lit(nbins - 1))
+    dens_r = F.transform(
+        bins0, lambda b: F.try_divide(_cnt(0, b, "cr"), F.col("n_ref") * width) + F.lit(EPS)
     )
-    fp = F.sum(p0).over(cum)
-    fq = F.sum(q0).over(cum)
-    per_bin = dense.select(
+    dens_c = F.transform(
+        bins0, lambda b: F.try_divide(_cnt(0, b, "cc"), F.col("n_cur") * width) + F.lit(EPS)
+    )
+    _sum = lambda arr: F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)  # noqa: E731
+    stage3 = gstats.withColumns(
+        {
+            "__p0": F.transform(dens_r, lambda d: F.try_divide(d, _sum(dens_r))),
+            "__q0": F.transform(dens_c, lambda d: F.try_divide(d, _sum(dens_c))),
+        }
+    )
+    p0, q0 = F.col("__p0"), F.col("__q0")
+    js_terms = F.zip_with(
+        p0,
+        q0,
+        lambda p, q: 0.5 * p * F.log(p / ((p + q) / 2))
+        + 0.5 * q * F.log(q / ((p + q) / 2)),
+    )
+    # binned ECDF in one pass: acc = (fp, fq, max_gap, sum_gap)
+    ecdf = F.aggregate(
+        F.zip_with(p0, q0, lambda p, q: F.struct(p.alias("p"), q.alias("q"))),
+        F.struct(
+            F.lit(0.0).alias("fp"),
+            F.lit(0.0).alias("fq"),
+            F.lit(0.0).alias("mx"),
+            F.lit(0.0).alias("sm"),
+        ),
+        lambda a, x: F.struct(
+            (a["fp"] + x["p"]).alias("fp"),
+            (a["fq"] + x["q"]).alias("fq"),
+            F.greatest(a["mx"], F.abs(a["fp"] + x["p"] - (a["fq"] + x["q"]))).alias("mx"),
+            (a["sm"] + F.abs(a["fp"] + x["p"] - (a["fq"] + x["q"]))).alias("sm"),
+        ),
+    )
+    # PSI grid: probabilities over the reference-decile buckets; the
+    # side totals are n_ref/n_cur (every row lands in exactly one bucket
+    # — the same value the old windowed sum produced)
+    binsp = F.sequence(F.lit(0), F.lit(psi_nbins - 1))
+    psi_terms = F.transform(
+        binsp,
+        lambda b: (
+            lambda p1, q1: (p1 - q1) * F.log(p1 / q1)
+        )(
+            (F.try_divide(_cnt(1, b, "cr"), F.col("n_ref").cast("double")) + EPS)
+            / (1.0 + psi_nbins * EPS),
+            (F.try_divide(_cnt(1, b, "cc"), F.col("n_cur").cast("double")) + EPS)
+            / (1.0 + psi_nbins * EPS),
+        ),
+    )
+    has_range = F.col("mx") > F.col("mn")
+    out = stage3.select(
         *keys,
-        *st_cols,
-        "__g",
-        F.when(
-            (F.col("__g") == 0) & (F.col("mx") > F.col("mn")),
-            0.5 * p0 * F.log(p0 / ((p0 + q0) / 2))
-            + 0.5 * q0 * F.log(q0 / ((p0 + q0) / 2)),
-        ).otherwise(F.lit(0.0)).alias("js_term"),
-        F.when(F.col("__g") == 1, (p1 - q1) * F.log(p1 / q1))
-        .otherwise(F.lit(0.0))
-        .alias("psi_term"),
-        F.when((F.col("__g") == 0) & (F.col("mx") > F.col("mn")), F.abs(fp - fq))
-        .otherwise(F.lit(0.0))
-        .alias("ecdf_gap"),
-        width.alias("width"),
-    )
-    out = per_bin.groupBy(*keys).agg(
-        F.sum("js_term").cast("double").alias("js"),
-        F.sum("psi_term").cast("double").alias("psi"),
-        F.max("ecdf_gap").cast("double").alias("ks_d"),
-        (F.sum("ecdf_gap") * F.first("width")).cast("double").alias("wd"),
-        *[F.first(c).alias(c) for c in st_cols if c not in ("mn", "mx")],
+        *[c for c in st_cols if c not in ("mn", "mx")],
+        F.when(has_range, _sum(js_terms)).otherwise(F.lit(0.0)).cast("double").alias("js"),
+        _sum(psi_terms).cast("double").alias("psi"),
+        F.when(has_range, ecdf["mx"]).otherwise(F.lit(0.0)).cast("double").alias("ks_d"),
+        F.when(has_range, ecdf["sm"] * width).otherwise(F.lit(0.0)).cast("double").alias("wd"),
     )
     value_range = F.greatest(F.col("range_ref"), F.col("range_cur"))
     se = F.try_divide(F.col("var_ref"), F.col("n_ref")) + F.try_divide(
