@@ -1,0 +1,129 @@
+"""spark-submit entry point: continuous monitoring of a clips stream.
+
+Runs the reference's core loop — "current window vs reference
+distribution on a cadence" (``config/default_config.py:104-106``) — as
+a Structured Streaming job: per micro-batch, the batch-local validation
+checks (violation rows appended) AND binned drift of a value column
+against a FROZEN reference profile (one metrics row per epoch).
+
+Usage (cluster or local):
+
+    python tools/build_package.py   # -> dist/llm_drift_detector_spark.zip
+    spark-submit --py-files dist/llm_drift_detector_spark.zip \
+        jobs/monitor_stream.py \
+        --clips-dir <parquet dir to watch> \
+        --reference <path-or-table of the clean reference window> \
+        --transcripts <path-or-table> \
+        --out /path/to/stream-output \
+        [--drift-column dur_ms] [--nbins 40] [--psi-nbins 10] \
+        [--max-files-per-trigger 16] [--continuous]
+
+Default is ``Trigger.AvailableNow`` (drain the backlog, emit, stop —
+the cron/backfill mode); --continuous leaves the queries running until
+killed.  Restart resumes from Spark's streaming checkpoints under
+--out (each input file processed exactly once).
+
+Writes to --out:
+
+- ``violations_stream/``  violation rows per micro-batch (stream_validate)
+- ``drift_metrics/``      one drift row per epoch (stream_drift)
+
+Prints one JSON summary line in AvailableNow mode.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _load(spark, spec: str):
+    if spec.startswith("table:"):
+        return spark.read.table(spec[len("table:"):])
+    return spark.read.parquet(spec)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--clips-dir", required=True)
+    p.add_argument("--reference", required=True)
+    p.add_argument("--transcripts", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--run-id", default="monitor")
+    p.add_argument("--drift-column", default="dur_ms")
+    p.add_argument("--nbins", type=int, default=40)
+    p.add_argument("--psi-nbins", type=int, default=10)
+    p.add_argument("--max-files-per-trigger", type=int, default=None)
+    p.add_argument(
+        "--continuous", action="store_true",
+        help="run until killed instead of draining the backlog once",
+    )
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from llm_drift_detector_spark.streaming import (
+        reference_profile,
+        stream_drift,
+        stream_validate,
+    )
+    from llm_drift_detector_spark.streaming.validate_stream import CLIPS_DDL
+
+    spark = SparkSession.builder.appName("monitor-stream").getOrCreate()
+    reference = _load(spark, args.reference)
+    transcripts = _load(spark, args.transcripts)
+
+    # the frozen profile: ONE batch job over the reference window,
+    # closed over every micro-batch after that
+    profile = reference_profile(
+        reference, args.drift_column, nbins=args.nbins, psi_nbins=args.psi_nbins
+    )
+
+    available_now = not args.continuous
+    qv = stream_validate(
+        spark,
+        args.clips_dir,
+        transcripts,
+        reference,
+        args.out,
+        run_id=args.run_id,
+        available_now=available_now,
+        max_files_per_trigger=args.max_files_per_trigger,
+    )
+    qd = stream_drift(
+        spark,
+        args.clips_dir,
+        profile,
+        args.out,
+        schema=CLIPS_DDL,
+        run_id=args.run_id,
+        available_now=available_now,
+        max_files_per_trigger=args.max_files_per_trigger,
+    )
+    if not available_now:
+        spark.streams.awaitAnyTermination()
+        return 0
+
+    summary = {
+        "run_id": args.run_id,
+        "reference_rows": profile["n"],
+        "drift_column": args.drift_column,
+    }
+    vio_path = os.path.join(args.out, "violations_stream")
+    met_path = os.path.join(args.out, "drift_metrics")
+    try:
+        summary["violation_rows"] = spark.read.parquet(vio_path).count()
+    except Exception:
+        summary["violation_rows"] = 0
+    met = spark.read.parquet(met_path)
+    rows = sorted(met.collect(), key=lambda r: r.epoch)
+    summary["epochs"] = len(rows)
+    summary["drift_detected_epochs"] = [int(r.epoch) for r in rows if r.drift_detected]
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

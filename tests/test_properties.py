@@ -99,3 +99,84 @@ def test_comparator_bounds_on_spark(spark, a, b):
     assert -1e-12 <= d <= 1.0 + 1e-12
     psi = psi_frame(fa, fb, "v").collect()[0].psi
     assert psi >= -1e-9  # PSI is a symmetrized KL: non-negative
+
+
+# --- wav container (r4) ------------------------------------------------------
+
+pcm_arrays = st.lists(
+    st.floats(min_value=-1.0, max_value=1.0, allow_nan=False, width=32),
+    min_size=1,
+    max_size=4000,
+)
+sample_rates = st.sampled_from([8000, 12345, 16000, 22050, 44100, 48000])
+
+
+@given(xs=pcm_arrays, sr=sample_rates)
+@settings(max_examples=50, deadline=None)
+def test_wav_roundtrip_any_signal_any_rate(xs, sr):
+    """encode->decode is the s16 quantization for ANY signal/rate; the
+    header stores the rate; num_samples agrees with the decode."""
+    from llm_drift_detector_spark import codecs
+
+    pcm = np.asarray(xs, dtype=np.float32)
+    payload = codecs.encode(pcm, "wav", sr_hz=sr)
+    out = codecs.decode(payload, "wav")
+    assert len(out) == len(pcm)
+    assert np.max(np.abs(out - np.clip(pcm, -1, 1))) <= (1.0 / 32767.0) + 1e-7
+    assert codecs.wav_sample_rate(payload) == sr
+    assert codecs.num_samples(payload, "wav") == len(pcm)
+
+
+@given(xs=pcm_arrays, cut=st.integers(min_value=0, max_value=10_000))
+@settings(max_examples=50, deadline=None)
+def test_wav_truncation_never_lengthens_or_errors_past_header(xs, cut):
+    """Truncating anywhere at/after the 44-byte header yields a decode
+    of <= the original length (never garbage growth, never a crash);
+    truncation into the header raises ValueError."""
+    from llm_drift_detector_spark import codecs
+
+    pcm = np.asarray(xs, dtype=np.float32)
+    payload = codecs.encode(pcm, "wav", sr_hz=16000)
+    k = min(cut, len(payload))
+    if k >= codecs.WAV_HEADER_BYTES:
+        out = codecs.decode(payload[:k], "wav")
+        assert len(out) <= len(pcm)
+        np.testing.assert_array_equal(out, codecs.decode(payload, "wav")[: len(out)])
+    else:
+        with pytest.raises(ValueError):
+            codecs.decode(payload[:k], "wav")
+
+
+# --- bloom dedup kernel (r4) -------------------------------------------------
+
+
+@given(cap=st.integers(16, 200_000), fpp=st.floats(0.0001, 0.2))
+@settings(max_examples=100, deadline=None)
+def test_bloom_geometry_sane(cap, fpp):
+    from llm_drift_detector_spark.streaming.stateful import bloom_geometry
+
+    m, k = bloom_geometry(cap, fpp)
+    assert m % 8 == 0 and m > 0 and k >= 1
+    # more capacity or lower fpp never shrinks the filter
+    m2, _ = bloom_geometry(cap * 2, fpp)
+    m3, _ = bloom_geometry(cap, fpp / 2)
+    assert m2 >= m and m3 >= m
+
+
+@given(hs=st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1), min_size=1, max_size=300))
+@settings(max_examples=50, deadline=None)
+def test_bloom_membership_no_false_negatives_property(hs):
+    """Anything inserted is ALWAYS found afterwards, for arbitrary
+    64-bit hash values (including negatives and duplicates)."""
+    from llm_drift_detector_spark.streaming.stateful import (
+        _bloom_positions,
+        bloom_geometry,
+    )
+
+    m, k = bloom_geometry(1000, 0.01)
+    buf = bytearray(m // 8)
+    for h in hs:
+        for i in _bloom_positions(h, m, k):
+            buf[i >> 3] |= 1 << (i & 7)
+    for h in hs:
+        assert all(buf[i >> 3] & (1 << (i & 7)) for i in _bloom_positions(h, m, k))

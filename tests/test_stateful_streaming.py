@@ -339,3 +339,38 @@ def test_stream_drift_gates_tiny_batches(spark, tmp_path):
     assert len(rows) == 1
     r = rows[0]
     assert r.gated and not r.drift_detected and r.drift_score == 0.0
+
+
+def test_monitor_stream_job_end_to_end(spark, tmp_path, capsys):
+    """jobs/monitor_stream.py: one CLI run drains the backlog, emitting
+    batch-local violations AND per-epoch drift metrics vs the frozen
+    reference profile (the reference's poll loop as a stream)."""
+    import sys
+
+    import numpy as np
+
+    sys.path.insert(0, "/root/repo/jobs")
+    import monitor_stream
+
+    from llm_drift_detector_spark.synth import ensure_synth
+
+    root = ensure_synth(spark, "/root/testdata/sf0.001")
+    out = str(tmp_path / "mon")
+    rc = monitor_stream.main(
+        [
+            "--clips-dir", f"{root}/clips",
+            "--reference", f"{root}/clips_reference",
+            "--transcripts", f"{root}/transcripts",
+            "--out", out,
+            "--drift-column", "dur_ms",
+        ]
+    )
+    assert rc == 0
+    summary = __import__("json").loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["violation_rows"] > 0
+    assert summary["epochs"] >= 1
+    # clips vs the clean reference: same dur distribution -> no drift
+    assert summary["drift_detected_epochs"] == []
+    met = spark.read.parquet(f"{out}/drift_metrics").collect()
+    assert all(not r.gated for r in met) and all(r.n > 0 for r in met)
+    assert abs(sum(r.n for r in met) - 6000) < 1
