@@ -45,6 +45,29 @@ def _fake_decode_feature(payload: bytes) -> np.ndarray:
     return hist / hist.sum()
 
 
+def _wav_decode_feature(payload: bytes) -> np.ndarray:
+    """A REAL container decoder behind the same seam (r4): parse the
+    RIFF/WAVE payload with the stdlib chunk walker and featurize the
+    decoded SIGNAL (normalized |amplitude| histogram), not its bytes.
+    Proves the plug-point contract with a genuine on-disk format —
+    image/video kernels slot in identically once PIL/ffmpeg exist.
+    Raises ValueError on malformed payloads (kernel maps it to
+    decode_status='decode_failed')."""
+    from .. import codecs
+
+    pcm = codecs.decode(payload, "wav")
+    if len(pcm) == 0:
+        return np.zeros(FEATURE_BINS, dtype=np.float32)
+    idx = np.minimum(
+        (np.abs(pcm) * FEATURE_BINS).astype(np.int64), FEATURE_BINS - 1
+    )
+    hist = np.bincount(idx, minlength=FEATURE_BINS).astype(np.float32)
+    return hist / hist.sum()
+
+
+_DECODE_KERNELS = {"fake": _fake_decode_feature, "wav": _wav_decode_feature}
+
+
 def media_features(
     df: DataFrame,
     id_col: str = "item_id",
@@ -61,12 +84,15 @@ def media_features(
     """
     if decode_mode == "real":
         raise NotImplementedError(
-            "real media decode needs PIL/ffmpeg — not available in this "
-            "environment; plug the real kernel into _fake_decode_feature's "
-            "seam (same signature: bytes -> feature vector)"
+            "real IMAGE/VIDEO decode needs PIL/ffmpeg — not available in "
+            "this environment; plug the real kernel into the "
+            "_DECODE_KERNELS seam (same signature: bytes -> feature "
+            "vector).  decode_mode='wav' demonstrates the seam with a "
+            "genuine container format the repo CAN decode."
         )
-    if decode_mode != "fake":
+    if decode_mode not in _DECODE_KERNELS:
         raise ValueError(f"unknown decode_mode: {decode_mode}")
+    decode_feature = _DECODE_KERNELS[decode_mode]
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         schema = pa.schema(
@@ -91,8 +117,12 @@ def media_features(
                     continue
                 payload = media[i].as_py()
                 nbytes.append(len(payload))
-                feats.append(_fake_decode_feature(payload).tolist())
-                status.append("ok")
+                try:
+                    feats.append(decode_feature(payload).tolist())
+                    status.append("ok")
+                except ValueError:
+                    feats.append(None)
+                    status.append("decode_failed")
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(ids, pa.string()),

@@ -159,6 +159,31 @@ def test_media_features_fake_kernel(spark):
         media_features(df, decode_mode="real")
 
 
+def test_media_features_real_wav_kernel(spark):
+    """decode_mode='wav' runs a REAL container decoder through the
+    multimodal seam: features come from the decoded SIGNAL (a loud and
+    a quiet tone of identical byte length differ), malformed payloads
+    map to decode_status='decode_failed'."""
+    from llm_drift_detector_spark import codecs
+    from llm_drift_detector_spark.synth.clips import make_pcm
+
+    pcm = make_pcm(5, 0, 16000, 1600)
+    loud = codecs.encode(pcm, "wav", sr_hz=16000)
+    quiet = codecs.encode((0.05 * pcm).astype("float32"), "wav", sr_hz=16000)
+    rows = [
+        ("loud", loud, "audio"),
+        ("quiet", quiet, "audio"),
+        ("broken", b"JUNK" + loud[4:], "audio"),
+    ]
+    df = spark.createDataFrame(rows, "item_id string, media binary, media_type string")
+    got = {r.item_id: r for r in media_features(df, decode_mode="wav").collect()}
+    assert got["loud"].decode_status == "ok" and got["quiet"].decode_status == "ok"
+    # quiet signal concentrates in the lowest |amplitude| bins
+    assert got["quiet"].feature[0] > 0.9 > got["loud"].feature[0]
+    assert got["broken"].decode_status == "decode_failed"
+    assert got["broken"].feature is None
+
+
 def test_frame_sample_udtf_shape(spark):
     payload = bytes(range(256)) * 32  # 8192 bytes = 8 frames of 1024
     df = spark.createDataFrame(
