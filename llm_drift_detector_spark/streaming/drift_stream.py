@@ -262,3 +262,234 @@ def stream_drift(
     if available_now:
         q.awaitTermination()
     return q
+
+
+def reference_profile_grouped(
+    ref: DataFrame,
+    keys: list[str],
+    column: str,
+    nbins: int = 40,
+    psi_nbins: int = 10,
+) -> dict:
+    """Frozen PER-GROUP reference profiles (the reference's per-provider
+    loop, ``detectors/__init__.py:58-86``, frozen at stream start).
+
+    Two grouped jobs, once per stream: a per-group stats pass (count/
+    moments/range + exact decile edges) and a binned-counts pass joining
+    each row to its group's broadcast range.  Result is a plain dict of
+    per-group profiles — O(#groups x nbins) driver memory; for very
+    large group counts use the batch `grouped_distribution_drift_binned`
+    on a cadence instead.
+    """
+    v = F.col(column).cast("double")
+    base = ref.where(v.isNotNull()).select(*keys, v.alias("v"))
+    qs = [i / psi_nbins for i in range(1, psi_nbins)]
+    st = base.groupBy(*keys).agg(
+        F.count("v").alias("n"),
+        F.avg("v").alias("mean"),
+        F.coalesce(F.var_samp("v"), F.lit(0.0)).alias("var"),
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+        F.expr(
+            f"percentile(v, array({', '.join(f'{q}D' for q in qs)}))"
+        ).alias("edges"),
+    ).collect()
+    if not st:
+        raise ValueError(f"reference window has no non-null {column} values")
+    profiles: dict[tuple, dict] = {}
+    for r in st:
+        mn, mx = float(r.mn), float(r.mx)
+        width = (mx - mn) / nbins if mx > mn else 1.0
+        profiles[tuple(str(r[k]) for k in keys)] = {
+            "n": int(r.n),
+            "mean": float(r.mean),
+            "var": float(r.var),
+            "mn": mn,
+            "mx": mx,
+            "width": width,
+            "nbins": nbins,
+            "psi_nbins": psi_nbins,
+            "edges": [float(e) for e in r.edges],
+            "js_counts": np.zeros(nbins),
+            "psi_counts": np.zeros(psi_nbins),
+        }
+    spark = ref.sparkSession
+    pframe = _profiles_frame(spark, keys, profiles)
+    counts = (
+        base.join(F.broadcast(pframe), keys)
+        .groupBy(
+            *keys,
+            _grouped_js_bin(nbins).alias("jb"),
+            _grouped_psi_bucket().alias("pb"),
+        )
+        .agg(F.count("*").alias("c"))
+        .collect()
+    )
+    for r in counts:
+        g = profiles[tuple(str(r[k]) for k in keys)]
+        g["js_counts"][int(r.jb)] += r.c
+        g["psi_counts"][int(r.pb)] += r.c
+    for g in profiles.values():
+        g["js_counts"] = g["js_counts"].tolist()
+        g["psi_counts"] = g["psi_counts"].tolist()
+    return {
+        "column": column,
+        "keys": list(keys),
+        "nbins": nbins,
+        "psi_nbins": psi_nbins,
+        "profiles": profiles,
+    }
+
+
+def _profiles_frame(spark, keys: list[str], profiles: dict) -> DataFrame:
+    """Tiny (one row per group) frame carrying each group's frozen
+    range/edges, for broadcast-joining batches against."""
+    rows = [
+        (*g, p["mn"], p["width"], p["edges"]) for g, p in profiles.items()
+    ]
+    ddl = ", ".join(f"{k} string" for k in keys) + (
+        ", __mn double, __width double, __edges array<double>"
+    )
+    return spark.createDataFrame(rows, ddl)
+
+
+def _grouped_js_bin(nbins: int):
+    raw = F.floor((F.col("v") - F.col("__mn")) / F.col("__width"))
+    return F.greatest(F.least(raw, F.lit(nbins - 1)), F.lit(0)).cast("int")
+
+
+def _grouped_psi_bucket():
+    return F.aggregate(
+        F.col("__edges"),
+        F.lit(0),
+        lambda acc, e: acc + (F.col("v") > e).cast("int"),
+    ).cast("int")
+
+
+def stream_drift_grouped(
+    spark: SparkSession,
+    clips_dir: str,
+    profile: dict,
+    out_dir: str,
+    schema: str,
+    run_id: str = "drift-stream",
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+    min_samples: int = MIN_SAMPLES,
+    js_threshold: float = 0.1,
+    psi_threshold: float = 0.2,
+):
+    """Per-GROUP per-micro-batch drift vs frozen per-group profiles.
+
+    `profile` comes from :func:`reference_profile_grouped`.  Appends one
+    metrics row per (group, epoch) to ``<out_dir>/drift_metrics``
+    (group key columns string-cast + the ``DRIFT_METRICS_SCHEMA``
+    metric columns).  Per batch: ONE Spark aggregate — every group's
+    bin counts and moments ride the same broadcast-join + groupBy job,
+    never a job per group — then O(#groups x nbins) driver arithmetic.
+    Batch rows whose group has no reference profile are counted and
+    reported as an ``unknown_group`` row (gated, n = dropped rows)
+    rather than silently skipped.
+    """
+    column = profile["column"]
+    keys = profile["keys"]
+    nbins, psi_nbins = profile["nbins"], profile["psi_nbins"]
+    profiles = profile["profiles"]
+    sink = os.path.join(out_dir, "drift_metrics")
+    checkpoint = os.path.join(out_dir, "_drift_stream_checkpoint")
+    out_schema = ", ".join(f"{k} string" for k in keys) + (
+        ", run_id string, epoch bigint, n bigint, batch_mean double, "
+        "js double, psi double, ks_d double, t_stat double, "
+        "drift_score double, drift_detected boolean, gated boolean"
+    )
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(clips_dir)
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        v = F.col(column).cast("double")
+        base = batch_df.where(v.isNotNull()).select(
+            *[F.col(k).cast("string").alias(k) for k in keys], v.alias("v")
+        )
+        pframe = _profiles_frame(spark, keys, profiles)
+        joined = base.join(F.broadcast(pframe), keys, "left")
+        known = joined.where(F.col("__mn").isNotNull())
+        n_unknown = joined.where(F.col("__mn").isNull()).count()
+        rows = (
+            known.groupBy(
+                *keys,
+                _grouped_js_bin(nbins).alias("jb"),
+                _grouped_psi_bucket().alias("pb"),
+            )
+            .agg(
+                F.count("*").alias("c"),
+                F.sum("v").alias("s"),
+                F.sum(F.col("v") * F.col("v")).alias("ss"),
+            )
+            .collect()
+        )
+        acc: dict[tuple, dict] = {}
+        for r in rows:
+            g = tuple(str(r[k]) for k in keys)
+            a = acc.setdefault(
+                g,
+                {"js": np.zeros(nbins), "psi": np.zeros(psi_nbins), "n": 0, "s": 0.0, "ss": 0.0},
+            )
+            a["js"][int(r.jb)] += r.c
+            a["psi"][int(r.pb)] += r.c
+            a["n"] += r.c
+            a["s"] += r.s
+            a["ss"] += r.ss
+        out_rows = []
+        for g, a in sorted(acc.items()):
+            n = a["n"]
+            mean = a["s"] / n if n else 0.0
+            var = (a["ss"] - n * mean * mean) / (n - 1) if n > 1 else 0.0
+            gated = n < min_samples
+            if gated:
+                m = {"js": 0.0, "psi": 0.0, "ks_d": 0.0, "t_stat": 0.0, "drift_score": 0.0}
+            else:
+                m = _binned_metrics(
+                    profiles[g], a["js"], a["psi"], n, mean, var,
+                    js_threshold, psi_threshold,
+                )
+            out_rows.append(
+                (
+                    *g,
+                    run_id,
+                    int(epoch_id),
+                    int(n),
+                    float(mean),
+                    m["js"],
+                    m["psi"],
+                    m["ks_d"],
+                    m["t_stat"],
+                    m["drift_score"],
+                    bool(not gated and m["drift_score"] > 1.0),
+                    bool(gated),
+                )
+            )
+        if n_unknown:
+            out_rows.append(
+                (
+                    *(["unknown_group"] * len(keys)),
+                    run_id, int(epoch_id), int(n_unknown), 0.0,
+                    0.0, 0.0, 0.0, 0.0, 0.0, False, True,
+                )
+            )
+        if out_rows:
+            spark.createDataFrame(out_rows, out_schema).write.mode(
+                "append"
+            ).parquet(sink)
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    if available_now:
+        q.awaitTermination()
+    return q

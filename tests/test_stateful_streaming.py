@@ -374,3 +374,52 @@ def test_monitor_stream_job_end_to_end(spark, tmp_path, capsys):
     met = spark.read.parquet(f"{out}/drift_metrics").collect()
     assert all(not r.gated for r in met) and all(r.n > 0 for r in met)
     assert abs(sum(r.n for r in met) - 6000) < 1
+
+
+def test_stream_drift_grouped_flags_only_shifted_group_and_batch(spark, tmp_path):
+    """Per-group streaming drift vs frozen per-group profiles: a shift
+    planted in codec 'b' in batch 2 flips drift_detected for ('b',
+    epoch 2) ONLY; groups unseen in the reference land as a gated
+    unknown_group row, not a silent drop."""
+    import numpy as np
+
+    from llm_drift_detector_spark.streaming import (
+        reference_profile_grouped,
+        stream_drift_grouped,
+    )
+
+    rng = np.random.default_rng(31)
+    src, out = str(tmp_path / "src"), str(tmp_path / "out")
+    ref_rows = [("a", float(v)) for v in rng.normal(50, 5, 2000)] + [
+        ("b", float(v)) for v in rng.normal(200, 20, 2000)
+    ]
+    ref = spark.createDataFrame(ref_rows, "codec string, dur_ms double")
+    prof = reference_profile_grouped(ref, ["codec"], "dur_ms", nbins=24, psi_nbins=8)
+    assert set(prof["profiles"]) == {("a",), ("b",)}
+
+    def batch(rows, i):
+        spark.createDataFrame(rows, "codec string, dur_ms double").coalesce(
+            1
+        ).write.parquet(f"{src}/batch={i}")
+
+    batch(
+        [("a", float(v)) for v in rng.normal(50, 5, 500)]
+        + [("b", float(v)) for v in rng.normal(200, 20, 500)],
+        1,
+    )
+    batch(
+        [("a", float(v)) for v in rng.normal(50, 5, 500)]
+        + [("b", float(v)) for v in rng.normal(320, 20, 500)]  # b shifts
+        + [("zz", float(v)) for v in rng.normal(1, 1, 40)],    # unknown group
+        2,
+    )
+    stream_drift_grouped(
+        spark, src + "/batch=*", prof, out,
+        schema="codec string, dur_ms double", max_files_per_trigger=1,
+    )
+    rows = spark.read.parquet(f"{out}/drift_metrics").collect()
+    flags = {(r.codec, r.epoch): r.drift_detected for r in rows}
+    assert flags[("a", 0)] is False and flags[("a", 1)] is False
+    assert flags[("b", 0)] is False and flags[("b", 1)] is True
+    unk = [r for r in rows if r.codec == "unknown_group"]
+    assert len(unk) == 1 and unk[0].gated and unk[0].n == 40 and unk[0].epoch == 1
