@@ -85,3 +85,16 @@ def test_audio_shortcut_fetch_pushes_ids_into_scan(spark, sf_dir):
         for seg in plan.split("PushedFilters")[1:]
         if "In(clip_id" in seg[:400] or "In(" in seg[:200]
     ), "no In(clip_id,...) pushed into any scan"
+
+
+def test_wav_native_dur_path_is_python_free(spark, sf_dir):
+    """The canonical-wav dur check (r4) is pure JVM: header magic via
+    binary substring + length arithmetic on the scan — no Python stage
+    anywhere in the plan, and the scan stays columnar/codegen'd."""
+    import __spark_entry__ as e
+
+    frame = e.q_clips_dur_mismatch_bytelen(spark, sf_dir)
+    plan = _plan(frame)
+    for bad in ("EvalPython", "InPandas", "MapInArrow"):
+        assert bad not in plan
+    assert "Batched: true" in plan and "*(1)" in plan
