@@ -53,6 +53,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--out", required=True)
     p.add_argument("--run-id", default="monitor")
     p.add_argument("--drift-column", default="dur_ms")
+    p.add_argument(
+        "--group-keys", default=None,
+        help="comma-separated key columns for PER-GROUP drift (frozen "
+        "per-group profiles, one aggregate per batch for all groups — "
+        "the reference's per-provider loop); omit for one global profile",
+    )
     p.add_argument("--nbins", type=int, default=40)
     p.add_argument("--psi-nbins", type=int, default=10)
     p.add_argument("--max-files-per-trigger", type=int, default=None)
@@ -66,7 +72,9 @@ def main(argv: list[str] | None = None) -> int:
 
     from llm_drift_detector_spark.streaming import (
         reference_profile,
+        reference_profile_grouped,
         stream_drift,
+        stream_drift_grouped,
         stream_validate,
     )
     from llm_drift_detector_spark.streaming.validate_stream import CLIPS_DDL
@@ -77,9 +85,16 @@ def main(argv: list[str] | None = None) -> int:
 
     # the frozen profile: ONE batch job over the reference window,
     # closed over every micro-batch after that
-    profile = reference_profile(
-        reference, args.drift_column, nbins=args.nbins, psi_nbins=args.psi_nbins
-    )
+    group_keys = args.group_keys.split(",") if args.group_keys else None
+    if group_keys:
+        profile = reference_profile_grouped(
+            reference, group_keys, args.drift_column,
+            nbins=args.nbins, psi_nbins=args.psi_nbins,
+        )
+    else:
+        profile = reference_profile(
+            reference, args.drift_column, nbins=args.nbins, psi_nbins=args.psi_nbins
+        )
 
     available_now = not args.continuous
     qv = stream_validate(
@@ -92,7 +107,8 @@ def main(argv: list[str] | None = None) -> int:
         available_now=available_now,
         max_files_per_trigger=args.max_files_per_trigger,
     )
-    qd = stream_drift(
+    drift_fn = stream_drift_grouped if group_keys else stream_drift
+    qd = drift_fn(
         spark,
         args.clips_dir,
         profile,
@@ -108,7 +124,11 @@ def main(argv: list[str] | None = None) -> int:
 
     summary = {
         "run_id": args.run_id,
-        "reference_rows": profile["n"],
+        "reference_rows": (
+            sum(p["n"] for p in profile["profiles"].values())
+            if group_keys
+            else profile["n"]
+        ),
         "drift_column": args.drift_column,
     }
     vio_path = os.path.join(args.out, "violations_stream")
@@ -119,8 +139,17 @@ def main(argv: list[str] | None = None) -> int:
         summary["violation_rows"] = 0
     met = spark.read.parquet(met_path)
     rows = sorted(met.collect(), key=lambda r: r.epoch)
-    summary["epochs"] = len(rows)
-    summary["drift_detected_epochs"] = [int(r.epoch) for r in rows if r.drift_detected]
+    summary["epochs"] = len({int(r.epoch) for r in rows})
+    if group_keys:
+        summary["drift_detected"] = [
+            {**{k: r[k] for k in group_keys}, "epoch": int(r.epoch)}
+            for r in rows
+            if r.drift_detected
+        ]
+    else:
+        summary["drift_detected_epochs"] = [
+            int(r.epoch) for r in rows if r.drift_detected
+        ]
     print(json.dumps(summary))
     return 0
 

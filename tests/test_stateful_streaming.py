@@ -375,6 +375,28 @@ def test_monitor_stream_job_end_to_end(spark, tmp_path, capsys):
     assert all(not r.gated for r in met) and all(r.n > 0 for r in met)
     assert abs(sum(r.n for r in met) - 6000) < 1
 
+    # grouped mode: per-codec frozen profiles, still no drift vs clean
+    out2 = str(tmp_path / "mon_grouped")
+    rc = monitor_stream.main(
+        [
+            "--clips-dir", f"{root}/clips",
+            "--reference", f"{root}/clips_reference",
+            "--transcripts", f"{root}/transcripts",
+            "--out", out2,
+            "--drift-column", "dur_ms",
+            "--group-keys", "codec",
+        ]
+    )
+    assert rc == 0
+    s2 = __import__("json").loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s2["drift_detected"] == []
+    met2 = spark.read.parquet(f"{out2}/drift_metrics").collect()
+    codecs_seen = {r.codec for r in met2}
+    assert {"pcm_s16le", "flac", "opus", "wav"} <= codecs_seen
+    # mp3_unknown rows exist in clips but NOT in the clean reference ->
+    # surfaced as the gated unknown_group row
+    assert "unknown_group" in codecs_seen
+
 
 def test_stream_drift_grouped_flags_only_shifted_group_and_batch(spark, tmp_path):
     """Per-group streaming drift vs frozen per-group profiles: a shift
