@@ -445,3 +445,40 @@ def test_stream_drift_grouped_flags_only_shifted_group_and_batch(spark, tmp_path
     assert flags[("b", 0)] is False and flags[("b", 1)] is True
     unk = [r for r in rows if r.codec == "unknown_group"]
     assert len(unk) == 1 and unk[0].gated and unk[0].n == 40 and unk[0].epoch == 1
+
+
+def test_stream_drift_checkpoint_resume_is_exactly_once(spark, tmp_path):
+    """Restarting the drift stream with the same checkpoint reprocesses
+    NOTHING (no duplicate metrics rows); new files after the restart are
+    picked up with fresh epochs."""
+    import numpy as np
+
+    from llm_drift_detector_spark.streaming import reference_profile, stream_drift
+
+    rng = np.random.default_rng(17)
+    src, out = str(tmp_path / "src"), str(tmp_path / "out")
+    ref = spark.createDataFrame(
+        [(float(v),) for v in rng.normal(10, 2, 1000)], "v double"
+    )
+    prof = reference_profile(ref, "v", nbins=16, psi_nbins=4)
+
+    def write_batch(i):
+        spark.createDataFrame(
+            [(float(x),) for x in rng.normal(10, 2, 300)], "v double"
+        ).coalesce(1).write.parquet(f"{src}/b{i}")
+
+    write_batch(1)
+    stream_drift(spark, src + "/b*", prof, out, schema="v double")
+    first = spark.read.parquet(f"{out}/drift_metrics").collect()
+    assert len(first) == 1
+
+    # restart with no new data: nothing reprocessed
+    stream_drift(spark, src + "/b*", prof, out, schema="v double")
+    again = spark.read.parquet(f"{out}/drift_metrics").collect()
+    assert len(again) == 1
+
+    # new file after restart: exactly one new row, total n = 600
+    write_batch(2)
+    stream_drift(spark, src + "/b*", prof, out, schema="v double")
+    final = spark.read.parquet(f"{out}/drift_metrics").collect()
+    assert len(final) == 2 and sum(r.n for r in final) == 600
