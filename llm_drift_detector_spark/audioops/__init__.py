@@ -26,7 +26,7 @@ from .containment import (
     verify_containment_pairs,
 )
 from .features import audio_feature_drift, audio_features, audio_quality_violations
-from .retrieval import audio_topk
+from .retrieval import audio_build_fingerprint_index, audio_topk
 
 __all__ = [
     "audio_containment_pairs",
@@ -40,6 +40,7 @@ __all__ = [
     "audio_quality_violations",
     "audio_spectral_shingles",
     "audio_fingerprints",
+    "audio_build_fingerprint_index",
     "audio_topk",
     "deduplicate_audio",
     "exact_duplicates_audio",

@@ -179,3 +179,40 @@ def audio_topk(
         .orderBy(F.desc("corr"), "clip_id")
         .limit(k)
     )
+
+
+def audio_build_fingerprint_index(
+    clips: DataFrame,
+    index_dir: str,
+    id_col: str = "clip_id",
+    payload_col: str = "bytes",
+    codec_col: str = "codec",
+    n_frames: int = DEFAULT_FRAMES,
+    bands: int = DEFAULT_BANDS,
+) -> None:
+    """Persist the corpus signature frame PARTITIONED BY band.
+
+    ``audio_topk`` filters on literal ``(band, band_sig)`` pairs, so a
+    band-partitioned store turns the candidate lookup into partition
+    pruning (only the query's ~``bands`` partitions are listed) before
+    the ``band_sig`` predicate pushes into each partition's parquet —
+    the same fit-once/search-many shape as the IVF index, at 10^12
+    rows an Iceberg table partitioned by ``band`` and sorted by
+    ``band_sig`` (file-level min/max pruning).  Decodes the corpus
+    exactly once, at build time.
+    """
+    from .dedup import audio_fingerprints
+
+    (
+        audio_fingerprints(
+            clips,
+            id_col=id_col,
+            payload_col=payload_col,
+            codec_col=codec_col,
+            n_frames=n_frames,
+            bands=bands,
+        )
+        .write.mode("overwrite")
+        .partitionBy("band")
+        .parquet(index_dir)
+    )

@@ -698,3 +698,51 @@ def test_containment_coverage_metric(spark):
     assert c3.covered == 2  # 62.5 ms window still misses the 50 ms clip
     c4 = containment_coverage(clips, max_scales=4).collect()[0]
     assert c4.covered == 3 and c4.coverage == 1.0
+
+
+def test_band_partitioned_fingerprint_index_prunes_and_matches(
+    spark, dup_clips, tmp_path
+):
+    """audio_build_fingerprint_index stores sigs partitioned by band:
+    the query's (band, band_sig) literals prune to the query's
+    partitions (PartitionFilters), and retrieval through the stored
+    index equals the on-the-fly path."""
+    from llm_drift_detector_spark.audioops import (
+        audio_build_fingerprint_index,
+        audio_topk,
+    )
+
+    idx = str(tmp_path / "fpidx")
+    audio_build_fingerprint_index(dup_clips, idx)
+    stored = spark.read.parquet(idx)
+    assert dict(stored.dtypes)["band"] == "int"
+
+    # partition pruning: an OR of (band, band_sig) conjunctions lands
+    # band constraints in PartitionFilters, not a full-index scan
+    probe = stored.where(
+        ((F.col("band") == 0) & (F.col("band_sig") == "0"))
+        | ((F.col("band") == 3) & (F.col("band_sig") == "f"))
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # PartitionFilters: [((band = 0) OR (band = 3))] — band constraints
+    # prune partitions; band_sig equality pushes into the parquet scan
+    part = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "band" in part and "band_sig" not in part
+    assert "PushedFilters" in plan and "band_sig" in plan.split("PushedFilters")[1][:200]
+
+    base = make_pcm(7, 0, SR, SR)
+    query = codecs.encode((0.7 * base).astype(np.float32), "opus")
+    via_index = {
+        (r.clip_id, r.bands_matched)
+        for r in audio_topk(
+            dup_clips, query, "opus", min_corr=0.9, fingerprints=stored
+        ).collect()
+    }
+    fresh = {
+        (r.clip_id, r.bands_matched)
+        for r in audio_topk(dup_clips, query, "opus", min_corr=0.9).collect()
+    }
+    assert via_index == fresh and {c for c, _ in via_index} == {
+        "a0", "a1", "a2", "a3", "a4"
+    }
