@@ -415,10 +415,12 @@ def stream_drift_grouped(
         )
         pframe = _profiles_frame(spark, keys, profiles)
         joined = base.join(F.broadcast(pframe), keys, "left")
-        known = joined.where(F.col("__mn").isNotNull())
-        n_unknown = joined.where(F.col("__mn").isNull()).count()
+        # rows whose group has no profile keep NULL __mn -> NULL bins;
+        # they ride the SAME aggregate (null grouping keys are legal)
+        # and the driver routes them to the unknown_group row — one job
+        # per batch, no separate count pass
         rows = (
-            known.groupBy(
+            joined.groupBy(
                 *keys,
                 _grouped_js_bin(nbins).alias("jb"),
                 _grouped_psi_bucket().alias("pb"),
@@ -431,8 +433,12 @@ def stream_drift_grouped(
             .collect()
         )
         acc: dict[tuple, dict] = {}
+        n_unknown = 0
         for r in rows:
             g = tuple(str(r[k]) for k in keys)
+            if g not in profiles:
+                n_unknown += r.c
+                continue
             a = acc.setdefault(
                 g,
                 {"js": np.zeros(nbins), "psi": np.zeros(psi_nbins), "n": 0, "s": 0.0, "ss": 0.0},
