@@ -63,6 +63,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--psi-nbins", type=int, default=10)
     p.add_argument("--max-files-per-trigger", type=int, default=None)
     p.add_argument(
+        "--profile-path", default=None,
+        help="persist/reuse the frozen profile as JSON: if the file "
+        "exists it is LOADED (a restart compares against the identical "
+        "frozen reference even if the reference table changed); "
+        "otherwise the profile is computed and saved there",
+    )
+    p.add_argument(
         "--continuous", action="store_true",
         help="run until killed instead of draining the backlog once",
     )
@@ -86,15 +93,32 @@ def main(argv: list[str] | None = None) -> int:
     # the frozen profile: ONE batch job over the reference window,
     # closed over every micro-batch after that
     group_keys = args.group_keys.split(",") if args.group_keys else None
-    if group_keys:
-        profile = reference_profile_grouped(
-            reference, group_keys, args.drift_column,
-            nbins=args.nbins, psi_nbins=args.psi_nbins,
-        )
+    if args.profile_path and os.path.exists(args.profile_path):
+        from llm_drift_detector_spark.streaming import load_profile
+
+        profile = load_profile(args.profile_path)
+        if bool(group_keys) != ("profiles" in profile) or (
+            group_keys and profile.get("keys") != group_keys
+        ):
+            raise SystemExit(
+                f"stored profile at {args.profile_path} was built with "
+                f"keys={profile.get('keys')}, run requested {group_keys}"
+            )
     else:
-        profile = reference_profile(
-            reference, args.drift_column, nbins=args.nbins, psi_nbins=args.psi_nbins
-        )
+        if group_keys:
+            profile = reference_profile_grouped(
+                reference, group_keys, args.drift_column,
+                nbins=args.nbins, psi_nbins=args.psi_nbins,
+            )
+        else:
+            profile = reference_profile(
+                reference, args.drift_column,
+                nbins=args.nbins, psi_nbins=args.psi_nbins,
+            )
+        if args.profile_path:
+            from llm_drift_detector_spark.streaming import save_profile
+
+            save_profile(profile, args.profile_path)
 
     available_now = not args.continuous
     qv = stream_validate(

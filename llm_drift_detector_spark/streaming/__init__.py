@@ -1,6 +1,8 @@
 from .drift_stream import (  # noqa: F401
+    load_profile,
     reference_profile,
     reference_profile_grouped,
+    save_profile,
     stream_drift,
     stream_drift_grouped,
 )

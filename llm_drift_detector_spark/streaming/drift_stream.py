@@ -499,3 +499,36 @@ def stream_drift_grouped(
     if available_now:
         q.awaitTermination()
     return q
+
+
+def save_profile(profile: dict, path: str) -> None:
+    """Persist a frozen profile (global or grouped) as JSON.
+
+    The profile IS the drift contract: a monitor restart must compare
+    against the SAME frozen reference even if the reference table has
+    since changed.  JSON keeps it engine-agnostic and diffable."""
+    import json
+
+    out = dict(profile)
+    if "profiles" in out:  # grouped: tuple keys -> joined string keys
+        out = {
+            **out,
+            "profiles": {
+                "\x1f".join(g): p for g, p in profile["profiles"].items()
+            },
+        }
+    with open(path, "w") as f:
+        json.dump(out, f)
+
+
+def load_profile(path: str) -> dict:
+    """Load a profile written by :func:`save_profile`."""
+    import json
+
+    with open(path) as f:
+        prof = json.load(f)
+    if "profiles" in prof:
+        prof["profiles"] = {
+            tuple(g.split("\x1f")): p for g, p in prof["profiles"].items()
+        }
+    return prof

@@ -482,3 +482,66 @@ def test_stream_drift_checkpoint_resume_is_exactly_once(spark, tmp_path):
     stream_drift(spark, src + "/b*", prof, out, schema="v double")
     final = spark.read.parquet(f"{out}/drift_metrics").collect()
     assert len(final) == 2 and sum(r.n for r in final) == 600
+
+
+def test_profile_save_load_roundtrip_and_cli_reuse(spark, tmp_path, capsys):
+    """save_profile/load_profile roundtrip exactly; the monitor CLI with
+    --profile-path LOADS a stored profile on restart — proven by
+    pointing the rerun at a garbage reference table: drift is still
+    computed against the stored profile (the reference is not touched)."""
+    import json
+    import sys
+
+    import numpy as np
+
+    from llm_drift_detector_spark.streaming import (
+        load_profile,
+        reference_profile,
+        reference_profile_grouped,
+        save_profile,
+    )
+
+    rng = np.random.default_rng(41)
+    ref = spark.createDataFrame(
+        [("a", float(v)) for v in rng.normal(5, 1, 600)]
+        + [("b", float(v)) for v in rng.normal(50, 5, 600)],
+        "codec string, dur_ms double",
+    )
+    for prof in (
+        reference_profile(ref, "dur_ms", nbins=12, psi_nbins=4),
+        reference_profile_grouped(ref, ["codec"], "dur_ms", nbins=12, psi_nbins=4),
+    ):
+        path = str(tmp_path / "p.json")
+        save_profile(prof, path)
+        assert load_profile(path) == prof
+
+    sys.path.insert(0, "/root/repo/jobs")
+    import monitor_stream
+
+    from llm_drift_detector_spark.synth import ensure_synth
+
+    root = ensure_synth(spark, "/root/testdata/sf0.001")
+    ppath = str(tmp_path / "frozen.json")
+    args = [
+        "--clips-dir", f"{root}/clips",
+        "--transcripts", f"{root}/transcripts",
+        "--out", str(tmp_path / "m1"),
+        "--drift-column", "dur_ms",
+        "--profile-path", ppath,
+        "--reference", f"{root}/clips_reference",
+    ]
+    assert monitor_stream.main(args) == 0
+    s1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    # restart against a GARBAGE reference: the stored profile wins
+    garbage = str(tmp_path / "garbage_ref")
+    spark.createDataFrame(
+        [(f"g{i}", b"x", 1, 999999, "pcm_s16le", "t") for i in range(40)],
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string, transcript string",
+    ).write.parquet(garbage)
+    args2 = [a if a != f"{root}/clips_reference" else garbage for a in args]
+    args2[args2.index(str(tmp_path / "m1"))] = str(tmp_path / "m2")
+    assert monitor_stream.main(args2) == 0
+    s2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s2["reference_rows"] == s1["reference_rows"] == 6000
+    assert s2["drift_detected_epochs"] == []  # judged vs the frozen profile
