@@ -746,3 +746,34 @@ def test_band_partitioned_fingerprint_index_prunes_and_matches(
     assert via_index == fresh and {c for c, _ in via_index} == {
         "a0", "a1", "a2", "a3", "a4"
     }
+
+
+def test_dedup_cli_checkpoint_resume(spark, dup_clips, tmp_path, capsys):
+    """jobs/dedup_audio.py --checkpoint-dir: the CLI commits stage
+    checkpoints, and a rerun (resume) reuses them — identical pairs,
+    fingerprints not rebuilt (directory mtime unchanged)."""
+    import json
+    import os
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    import dedup_audio
+
+    src = str(tmp_path / "clips")
+    dup_clips.write.parquet(src)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    args = [
+        "--clips", src, "--out", out,
+        "--checkpoint-dir", ckpt, "--run-id", "cli1",
+    ]
+    assert dedup_audio.main(args) == 0
+    s1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s1["pairs"] > 0
+    fp_success = f"{ckpt}/run=cli1/fingerprints/_SUCCESS"
+    assert os.path.exists(fp_success)
+    mtime = os.path.getmtime(fp_success)
+
+    assert dedup_audio.main(args) == 0
+    s2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s2["pairs"] == s1["pairs"] and s2["cluster_members"] == s1["cluster_members"]
+    assert os.path.getmtime(fp_success) == mtime  # stage not rebuilt
