@@ -463,14 +463,17 @@ def q_clips_dur_mismatch_bytelen(spark: SparkSession, sf_dir: str) -> DataFrame:
     opus/mu-law: 1 B/sample, canonical-header wav: (len-44)/2) — the
     native fast-path subset of the full mapInPandas check, SQL-expressible
     for the oracle (flac needs decode)."""
-    from llm_drift_detector_spark.checks.audio import wav_canonical_pred
+    from llm_drift_detector_spark.checks.audio import (
+        wav_canonical_pred,
+        wav_native_n_samples,
+    )
 
     c = _clips(spark, sf_dir)
     wav_native = (F.col("codec") == "wav") & wav_canonical_pred()
     n_samples = (
         F.when(F.col("codec") == "pcm_s16le", F.floor(F.length("bytes") / 2))
         .when(F.col("codec") == "opus", F.length("bytes"))
-        .when(wav_native, F.floor((F.length("bytes") - 44) / 2))
+        .when(wav_native, wav_native_n_samples())
     )
     implied = n_samples * 1000.0 / F.col("sr_hz")
     return (
@@ -1916,17 +1919,33 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{SYNTH_SF001}/expected_audio_violations/*.parquet')
             ORDER BY check_name, clip_id
         """,
+        # wav branch mirrors checks.audio.wav_canonical_pred /
+        # wav_native_n_samples: full canonical-front check (RIFF/WAVE,
+        # fmt size 16 PCM mono, 16-bit, data) and
+        # min(declared LE data size, bytes present) // 2
         "clips_dur_mismatch_bytelen": f"""
-            SELECT clip_id, codec FROM {_CLIPS}
+            WITH c AS (
+              SELECT clip_id, codec, sr_hz, dur_ms,
+                     octet_length(bytes) AS blen, hex(bytes) AS h
+              FROM {_CLIPS}
+            )
+            SELECT clip_id, codec FROM c
             WHERE (codec IN ('pcm_s16le', 'opus')
-                   OR (codec = 'wav' AND octet_length(bytes) >= 44
-                       AND substring(hex(bytes), 1, 8) = '52494646'
-                       AND substring(hex(bytes), 17, 8) = '57415645'
-                       AND substring(hex(bytes), 73, 8) = '64617461'))
+                   OR (codec = 'wav' AND blen >= 44
+                       AND substring(h, 1, 8) = '52494646'
+                       AND substring(h, 17, 8) = '57415645'
+                       AND substring(h, 25, 8) = '666D7420'
+                       AND substring(h, 33, 16) = '1000000001000100'
+                       AND substring(h, 69, 12) = '100064617461'))
               AND abs(dur_ms - (CASE WHEN codec = 'pcm_s16le'
-                                     THEN floor(octet_length(bytes) / 2)
+                                     THEN floor(blen / 2)
                                      WHEN codec = 'wav'
-                                     THEN floor((octet_length(bytes) - 44) / 2)
-                                     ELSE octet_length(bytes) END) * 1000.0 / sr_hz) > 1.0
+                                     THEN floor(LEAST(
+                                          CAST(concat('0x', substring(h, 87, 2),
+                                                      substring(h, 85, 2),
+                                                      substring(h, 83, 2),
+                                                      substring(h, 81, 2)) AS BIGINT),
+                                          blen - 44) / 2)
+                                     ELSE blen END) * 1000.0 / sr_hz) > 1.0
         """,
     }

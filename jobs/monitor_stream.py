@@ -156,13 +156,21 @@ def main(argv: list[str] | None = None) -> int:
         "drift_column": args.drift_column,
     }
     vio_path = os.path.join(args.out, "violations_stream")
-    met_path = os.path.join(args.out, "drift_metrics")
+    met_path = os.path.join(
+        args.out, "drift_metrics_grouped" if group_keys else "drift_metrics"
+    )
+    # both sinks may legitimately not exist after a zero-batch drain
+    # (no new files since the last run) — report zeros, not a traceback
     try:
         summary["violation_rows"] = spark.read.parquet(vio_path).count()
     except Exception:
         summary["violation_rows"] = 0
-    met = spark.read.parquet(met_path)
-    rows = sorted(met.collect(), key=lambda r: r.epoch)
+    try:
+        rows = sorted(
+            spark.read.parquet(met_path).collect(), key=lambda r: r.epoch
+        )
+    except Exception:
+        rows = []
     summary["epochs"] = len({int(r.epoch) for r in rows})
     if group_keys:
         summary["drift_detected"] = [

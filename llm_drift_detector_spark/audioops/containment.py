@@ -113,19 +113,24 @@ def containment_coverage(
     much of the corpus the shingle stage can see at this geometry.
 
     Fully native (derived from sr/dur, no decode): a clip is covered iff
-    it fits at least the FINEST scale's window.  Run this before a
-    containment job to size ``window_s``/``max_scales`` to the corpus —
-    the sf0.01 probe that motivated multi-resolution found only ~1% of
-    clips exceeded the single 250 ms window."""
-    finest_w = (F.col(sr_col) * F.lit(window_s)).cast("double") / F.lit(
-        1 << (max(1, max_scales) - 1)
-    )
+    it fits ANY scale's window, using the kernel's EXACT integer
+    geometry (``int(sr * window_s) >> scale``, scale skipped below
+    MIN_WINDOW_SAMPLES) — a probe that disagreed with what the shingle
+    stage actually emits would misattribute the gap it exists to
+    surface.  Run this before a containment job to size
+    ``window_s``/``max_scales`` to the corpus — the sf0.01 probe that
+    motivated multi-resolution found only ~1% of clips exceeded the
+    single 250 ms window."""
     n_samples = F.col(sr_col).cast("double") * F.col(dur_col) / 1000.0
-    covered = (
-        (n_samples >= finest_w)
-        & (finest_w >= MIN_WINDOW_SAMPLES)
-        & F.col(sr_col).isNotNull()
-    ).cast("int")
+    fits_any = F.lit(False)
+    for scale in range(max(1, max_scales)):
+        # mirror _spectral_sigs: w = int(sr * window_s) >> scale
+        w = F.floor(F.col(sr_col).cast("double") * F.lit(window_s)).cast(
+            "long"
+        ) / F.lit(1 << scale)
+        w = F.floor(w)
+        fits_any = fits_any | ((w >= MIN_WINDOW_SAMPLES) & (n_samples >= w))
+    covered = (fits_any & F.col(sr_col).isNotNull()).cast("int")
     return clips.agg(
         F.count("*").cast("bigint").alias("clips"),
         F.sum(covered).cast("bigint").alias("covered"),

@@ -64,6 +64,7 @@ def audio_topk(
     min_band_matches: int = 1,
     min_corr: float = 0.0,
     fingerprints: DataFrame | None = None,
+    validate_fingerprints: bool = True,
 ) -> DataFrame:
     """Top-k acoustically-similar clips for one query: (clip_id,
     bands_matched, corr), corr-descending.
@@ -80,13 +81,17 @@ def audio_topk(
 
     from .dedup import audio_fingerprints
 
-    if fingerprints is not None:
+    if fingerprints is not None and validate_fingerprints:
         # A stored frame built with different bands silently yields zero
         # or garbage candidates (the band/band_sig literals would never
-        # match) — verify its band range instead (ADVICE r3).  Cheap:
-        # min/max over one int column of the stored table.  n_frames is
-        # not recoverable from the sigs; mismatches there degrade
-        # recall, which min_corr re-ranking bounds — documented caveat.
+        # match) — verify its band range instead (ADVICE r3): min/max
+        # over one int column.  This is a full-column aggregate of the
+        # stored index, so a HIGH-QPS search loop should validate once
+        # and pass validate_fingerprints=False on subsequent queries
+        # against the same frame (or persist geometry out of band).
+        # n_frames is not recoverable from the sigs; mismatches there
+        # degrade recall, which min_corr re-ranking bounds — documented
+        # caveat.
         rng = fingerprints.agg(
             F.min("band").alias("lo"), F.max("band").alias("hi")
         ).collect()[0]
@@ -96,6 +101,8 @@ def audio_topk(
                 f"match bands={bands}; rebuild with audio_fingerprints(..., "
                 f"bands={bands}) or pass the matching bands="
             )
+        fp = fingerprints
+    elif fingerprints is not None:
         fp = fingerprints
     else:
         fp = audio_fingerprints(

@@ -70,20 +70,52 @@ _BYTES_PER_SAMPLE = {"pcm_s16le": 2, "opus": 1}  # length-derivable codecs
 
 
 def wav_canonical_pred() -> F.Column:
-    """Native predicate: payload is a canonical-layout wav (44-byte
-    RIFF+fmt+data header, the layout our encoder and most real writers
-    emit).  For these rows the decoded sample count is a pure JVM
-    expression on ``length(bytes)`` — no Python, no decode: a truncated
-    data chunk yields fewer available bytes, which is exactly what the
-    decoder would report.  Non-canonical wav rows (extra chunks, damaged
-    header) fall through to the chunk-walking Python decoder.
+    """Native predicate: payload is a canonical-layout PCM wav (44-byte
+    RIFF + 16-byte fmt + data header, the layout our encoder and most
+    real writers emit).  Checks the FULL canonical front — RIFF/WAVE
+    magic, ``fmt `` chunk of size 16 declaring PCM (format 1), mono,
+    16-bit, then ``data`` — not just the outer magic: a stereo or
+    IEEE-float wav shares the RIFF/WAVE/data markers but must go to the
+    chunk-walking decoder (which rejects it as unsupported layout), not
+    the (len-44)/2 math with the wrong bytes-per-frame.  For rows that
+    pass, :func:`wav_native_n_samples` is a pure JVM expression that
+    mirrors the decoder exactly.  Anything else (extra leading chunks,
+    damaged header) falls through to Python.
     """
     return (
         (F.length("bytes") >= WAV_HEADER_BYTES)
         & (F.substring("bytes", 1, 4) == F.lit(b"RIFF"))
         & (F.substring("bytes", 9, 4) == F.lit(b"WAVE"))
-        & (F.substring("bytes", 37, 4) == F.lit(b"data"))
+        & (F.substring("bytes", 13, 4) == F.lit(b"fmt "))
+        # fmt size = 16, audio_format = 1 (PCM), channels = 1 (LE)
+        & (F.substring("bytes", 17, 8) == F.lit(b"\x10\x00\x00\x00\x01\x00\x01\x00"))
+        # bits_per_sample = 16 (LE) immediately before the data chunk
+        & (F.substring("bytes", 35, 6) == F.lit(b"\x10\x00data"))
     )
+
+
+def wav_native_n_samples() -> F.Column:
+    """Decoded sample count of a canonical wav, as a JVM expression that
+    MATCHES the chunk walker: min(declared data-chunk size, bytes
+    actually present) // 2.  The declared size is parsed from the
+    little-endian uint32 at bytes 41-44 via hex-string reversal, so a
+    wav with trailing chunks after data (LIST/INFO from real writers)
+    counts only its data bytes instead of fabricating a dur mismatch,
+    and a truncated file counts what is present.
+    """
+    hx = F.hex(F.substring("bytes", 41, 4))  # "AABBCCDD", AA = byte 41
+    declared = F.conv(
+        F.concat(
+            F.substring(hx, 7, 2),
+            F.substring(hx, 5, 2),
+            F.substring(hx, 3, 2),
+            F.substring(hx, 1, 2),
+        ),
+        16,
+        10,
+    ).cast("long")
+    available = F.length("bytes") - F.lit(WAV_HEADER_BYTES)
+    return F.floor(F.least(declared, available.cast("long")) / 2)
 
 
 def _decode_np(buf, codec: str) -> np.ndarray | None:
@@ -294,15 +326,21 @@ def audio_invariant_violations(
     cur = clips.select("clip_id", "bytes", "sr_hz", "dur_ms", "codec")
 
     # --- 1. native dur_ms for byte-length-derivable codecs (scan-only) ---
-    # Canonical wav joins the native tier: the fixed 44-byte header makes
-    # the available sample count floor((len-44)/2) — truncated files have
-    # fewer available bytes, so the same expression catches them, and the
-    # magic-bytes predicate routes anything non-canonical to the decoder.
-    wav_native = (F.col("codec") == "wav") & wav_canonical_pred()
+    # Canonical wav joins the native tier in shortcut mode: the header
+    # predicate routes anything non-canonical to the decoder, and
+    # wav_native_n_samples mirrors the decoder's min(declared, present)
+    # arithmetic.  In DEEP mode the kernel decodes every row anyway and
+    # owns ALL wav dur verdicts — including wav in the native tier there
+    # would emit each canonical-wav violation twice (once per tier).
+    wav_native = (
+        ((F.col("codec") == "wav") & wav_canonical_pred())
+        if snr_mode != "deep"
+        else F.lit(False)
+    )
     n_samples = (
         F.when(F.col("codec") == "pcm_s16le", F.floor(F.length("bytes") / 2))
         .when(F.col("codec") == "opus", F.length("bytes"))
-        .when(wav_native, F.floor((F.length("bytes") - WAV_HEADER_BYTES) / 2))
+        .when(wav_native, wav_native_n_samples())
     )
     implied_ms = n_samples * 1000.0 / F.col("sr_hz")
     fast_codecs = list(_BYTES_PER_SAMPLE)

@@ -127,7 +127,16 @@ def merge_upsert(
         # or the anti-join is silently skipped and the re-run appends
         # every already-written key again
         msg = str(e)
-        if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+        # UNABLE_TO_INFER_SCHEMA covers the existing-but-empty target:
+        # a killed first write leaves only _temporary/ (no parquet
+        # footers), which is "no data committed yet", not a transient
+        # failure — treating it as fatal would brick every rerun of the
+        # crash-recovery replay until the dir is manually deleted.
+        if (
+            "PATH_NOT_FOUND" not in msg
+            and "Path does not exist" not in msg
+            and "UNABLE_TO_INFER_SCHEMA" not in msg
+        ):
             raise
         existing = None
     if existing is not None:

@@ -41,8 +41,17 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..config import EPS, MIN_SAMPLES
 
+# read-side schema: `epoch` materializes as the partition column of
+# the sink (each micro-batch OVERWRITES its own epoch=<k> partition, so
+# a foreachBatch replay after a crash-before-checkpoint is idempotent —
+# plain appends would duplicate the replayed epoch's rows)
 DRIFT_METRICS_SCHEMA = (
     "run_id string, epoch bigint, n bigint, batch_mean double, "
+    "js double, psi double, ks_d double, t_stat double, "
+    "drift_score double, drift_detected boolean, gated boolean"
+)
+_SINK_ROW_SCHEMA = (
+    "run_id string, n bigint, batch_mean double, "
     "js double, psi double, ks_d double, t_stat double, "
     "drift_score double, drift_detected boolean, gated boolean"
 )
@@ -237,7 +246,6 @@ def stream_drift(
         out_row = [
             (
                 run_id,
-                int(epoch_id),
                 int(n),
                 float(mean),
                 m["js"],
@@ -249,9 +257,10 @@ def stream_drift(
                 bool(gated),
             )
         ]
-        spark.createDataFrame(out_row, DRIFT_METRICS_SCHEMA).write.mode(
-            "append"
-        ).parquet(sink)
+        # overwrite THIS epoch's partition: replays are idempotent
+        spark.createDataFrame(out_row, _SINK_ROW_SCHEMA).write.mode(
+            "overwrite"
+        ).parquet(f"{sink}/epoch={int(epoch_id)}")
 
     writer = stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint
@@ -395,10 +404,13 @@ def stream_drift_grouped(
     keys = profile["keys"]
     nbins, psi_nbins = profile["nbins"], profile["psi_nbins"]
     profiles = profile["profiles"]
-    sink = os.path.join(out_dir, "drift_metrics")
-    checkpoint = os.path.join(out_dir, "_drift_stream_checkpoint")
+    # distinct sink + checkpoint from the global variant: sharing one
+    # out_dir between modes must not reuse the wrong stream checkpoint
+    # or mix incompatible row schemas in one dataset
+    sink = os.path.join(out_dir, "drift_metrics_grouped")
+    checkpoint = os.path.join(out_dir, "_drift_stream_grouped_checkpoint")
     out_schema = ", ".join(f"{k} string" for k in keys) + (
-        ", run_id string, epoch bigint, n bigint, batch_mean double, "
+        ", run_id string, n bigint, batch_mean double, "
         "js double, psi double, ks_d double, t_stat double, "
         "drift_score double, drift_detected boolean, gated boolean"
     )
@@ -465,7 +477,6 @@ def stream_drift_grouped(
                 (
                     *g,
                     run_id,
-                    int(epoch_id),
                     int(n),
                     float(mean),
                     m["js"],
@@ -481,14 +492,15 @@ def stream_drift_grouped(
             out_rows.append(
                 (
                     *(["unknown_group"] * len(keys)),
-                    run_id, int(epoch_id), int(n_unknown), 0.0,
+                    run_id, int(n_unknown), 0.0,
                     0.0, 0.0, 0.0, 0.0, 0.0, False, True,
                 )
             )
         if out_rows:
+            # overwrite THIS epoch's partition: replays are idempotent
             spark.createDataFrame(out_rows, out_schema).write.mode(
-                "append"
-            ).parquet(sink)
+                "overwrite"
+            ).parquet(f"{sink}/epoch={int(epoch_id)}")
 
     writer = stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint

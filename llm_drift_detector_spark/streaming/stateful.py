@@ -207,6 +207,12 @@ def streaming_duplicate_clips(
     emit one (clip_id) row in the trigger where they arrive — a
     duplicate split across micro-batches is flagged exactly once.
 
+    CHECKPOINT COMPATIBILITY: ``state_mode`` is part of the state-store
+    schema (``array<bigint>`` vs ``binary``), so it must NOT change
+    across restarts of an existing checkpointed stream — restart a
+    pre-Bloom (r3) stream with ``state_mode="exact"`` or start a fresh
+    checkpoint.  The bloom default applies to NEW streams.
+
     ``id_col`` (default: the key itself) names the column EMITTED for a
     flagged row, decoupling dedup identity from the reported id:
     ``key_col="bytes", id_col="clip_id"`` is cross-batch EXACT PAYLOAD

@@ -119,3 +119,63 @@ def test_golden_parquet_matches_expected_sets(synth, sf_dir):
         "dur_ms_mismatch": exp["dur_ms_mismatch"],
         "snr_allclose": exp["snr_allclose"],
     }
+
+
+def _wav_clip_row(cid, pcm, sr):
+    from llm_drift_detector_spark import codecs
+
+    payload = codecs.encode(pcm, "wav", sr_hz=sr)
+    return (cid, bytearray(payload), sr, round(len(pcm) * 1000.0 / sr), "wav", "t")
+
+
+def test_wav_native_tier_edge_layouts(spark):
+    """Review r4 fixes: (a) a wav with a TRAILING chunk after data must
+    not fabricate a dur mismatch — the native tier parses the declared
+    data size, matching the decoder; (b) a stereo wav shares the outer
+    magic but must route to the chunk walker, which rejects it as
+    decode_failed; (c) DEEP mode emits each canonical-wav dur violation
+    exactly ONCE (native tier is pcm/opus-only there)."""
+    import struct
+
+    import numpy as np
+
+    from llm_drift_detector_spark import codecs
+    from llm_drift_detector_spark.checks.audio import audio_invariant_violations
+    from llm_drift_detector_spark.synth.clips import make_pcm
+
+    sr = 16000
+    ddl = "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string, transcript string"
+    pcm = make_pcm(3, 0, sr, sr // 2)
+    good = _wav_clip_row("good", pcm, sr)
+    # trailing LIST chunk AFTER data: canonical front, extra tail bytes
+    base = codecs.encode(pcm, "wav", sr_hz=sr)
+    trailing = base + b"LIST" + struct.pack("<I", 4) + b"INFO"
+    trail_row = ("trail", bytearray(trailing), sr, good[3], "wav", "t")
+    # stereo wav: flip channels to 2 in the fmt chunk
+    stereo = bytearray(base)
+    stereo[22] = 2
+    stereo_row = ("stereo", stereo, sr, good[3], "wav", "t")
+    # truncated canonical wav -> one dur violation
+    trunc = base[: int(len(base) * 0.6)]
+    trunc_row = ("trunc", bytearray(trunc), sr, good[3], "wav", "t")
+
+    clips = spark.createDataFrame([good, trail_row, stereo_row, trunc_row], ddl)
+    # reference rows share the clean payload under each id
+    ref = spark.createDataFrame(
+        [("good",) + good[1:], ("trail",) + good[1:], ("stereo",) + good[1:], ("trunc",) + good[1:]],
+        ddl,
+    )
+
+    got = audio_invariant_violations(clips, ref).collect()
+    by = {}
+    for r in got:
+        by.setdefault(r.clip_id, []).append(r.check_name)
+    assert "good" not in by
+    assert "trail" not in by, by.get("trail")  # declared-size math, no spurious row
+    assert by.get("stereo") == ["dur_ms_mismatch"]  # chunk walker: decode_failed
+    assert by.get("trunc") == ["dur_ms_mismatch"]
+
+    deep = audio_invariant_violations(clips, ref, snr_mode="deep").collect()
+    deep_pairs = [(r.check_name, r.clip_id) for r in deep]
+    assert len(deep_pairs) == len(set(deep_pairs)), deep_pairs  # no double-emit
+    assert deep_pairs.count(("dur_ms_mismatch", "trunc")) == 1

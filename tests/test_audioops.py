@@ -698,6 +698,15 @@ def test_containment_coverage_metric(spark):
     assert c3.covered == 2  # 62.5 ms window still misses the 50 ms clip
     c4 = containment_coverage(clips, max_scales=4).collect()[0]
     assert c4.covered == 3 and c4.coverage == 1.0
+    # review r4: an over-deep ladder (finest scale below the 16-sample
+    # floor) must NOT zero the probe — coarser scales still cover, and
+    # the kernel still emits for them (probe mirrors kernel geometry)
+    lo_sr = spark.createDataFrame(
+        [_row("low", make_pcm(91, 3, 8000, 8000), "pcm_s16le", sr=8000)],
+        CLIPS_DDL,
+    )
+    c8 = containment_coverage(lo_sr, max_scales=8).collect()[0]
+    assert c8.covered == 1 and c8.short_clips_skipped == 0
 
 
 def test_band_partitioned_fingerprint_index_prunes_and_matches(

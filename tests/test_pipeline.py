@@ -394,3 +394,19 @@ def test_merge_upsert_order_col_keeps_latest_deterministically(spark, tmp_path):
     merge_upsert(spark, df2, path, ["k"], order_col="updated_at")
     got2 = {r.k: r.v for r in spark.read.parquet(path).collect()}
     assert got2 == {1: "new", 2: "only"}
+
+
+def test_merge_upsert_survives_empty_target_dir(spark, tmp_path):
+    """Review r4: a target dir left by a killed first write (exists but
+    holds no parquet footers) must count as 'no target yet', not brick
+    every rerun with UNABLE_TO_INFER_SCHEMA."""
+    from llm_drift_detector_spark.pipeline.io import merge_upsert
+
+    path = tmp_path / "mu_empty"
+    (path / "_temporary").mkdir(parents=True)  # killed-write leftover
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    merge_upsert(spark, df, str(path), ["k"])
+    assert spark.read.parquet(str(path)).count() == 2
+    # and the normal idempotency still holds on rerun
+    merge_upsert(spark, df, str(path), ["k"])
+    assert spark.read.parquet(str(path)).count() == 2

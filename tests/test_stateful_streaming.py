@@ -390,7 +390,7 @@ def test_monitor_stream_job_end_to_end(spark, tmp_path, capsys):
     assert rc == 0
     s2 = __import__("json").loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert s2["drift_detected"] == []
-    met2 = spark.read.parquet(f"{out2}/drift_metrics").collect()
+    met2 = spark.read.parquet(f"{out2}/drift_metrics_grouped").collect()
     codecs_seen = {r.codec for r in met2}
     assert {"pcm_s16le", "flac", "opus", "wav"} <= codecs_seen
     # mp3_unknown rows exist in clips but NOT in the clean reference ->
@@ -439,7 +439,7 @@ def test_stream_drift_grouped_flags_only_shifted_group_and_batch(spark, tmp_path
         spark, src + "/batch=*", prof, out,
         schema="codec string, dur_ms double", max_files_per_trigger=1,
     )
-    rows = spark.read.parquet(f"{out}/drift_metrics").collect()
+    rows = spark.read.parquet(f"{out}/drift_metrics_grouped").collect()
     flags = {(r.codec, r.epoch): r.drift_detected for r in rows}
     assert flags[("a", 0)] is False and flags[("a", 1)] is False
     assert flags[("b", 0)] is False and flags[("b", 1)] is True
@@ -545,3 +545,32 @@ def test_profile_save_load_roundtrip_and_cli_reuse(spark, tmp_path, capsys):
     s2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert s2["reference_rows"] == s1["reference_rows"] == 6000
     assert s2["drift_detected_epochs"] == []  # judged vs the frozen profile
+
+
+def test_monitor_stream_zero_batch_reports_zeros(spark, tmp_path, capsys):
+    """Review r4: a drain with nothing to process (empty clips dir) must
+    print a zero summary, not crash on the never-created sinks."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    import monitor_stream
+
+    from llm_drift_detector_spark.synth import ensure_synth
+
+    root = ensure_synth(spark, "/root/testdata/sf0.001")
+    empty = tmp_path / "empty_clips"
+    empty.mkdir()
+    rc = monitor_stream.main(
+        [
+            "--clips-dir", str(empty),
+            "--reference", f"{root}/clips_reference",
+            "--transcripts", f"{root}/transcripts",
+            "--out", str(tmp_path / "zb"),
+            "--drift-column", "dur_ms",
+        ]
+    )
+    assert rc == 0
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s["violation_rows"] == 0 and s["epochs"] == 0
+    assert s["drift_detected_epochs"] == []
