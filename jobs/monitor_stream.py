@@ -104,6 +104,26 @@ def main(argv: list[str] | None = None) -> int:
                 f"stored profile at {args.profile_path} was built with "
                 f"keys={profile.get('keys')}, run requested {group_keys}"
             )
+        # the stored profile IS the monitored contract — reject every
+        # mismatch with what this run asked for, not just the group keys
+        # (stream_drift reads profile['column']; silently monitoring a
+        # different column than the printed summary reports is worse
+        # than failing)
+        mismatches = [
+            f"{name}: stored={stored!r} requested={req!r}"
+            for name, stored, req in (
+                ("drift column", profile.get("column"), args.drift_column),
+                ("nbins", profile.get("nbins"), args.nbins),
+                ("psi_nbins", profile.get("psi_nbins"), args.psi_nbins),
+            )
+            if stored != req
+        ]
+        if mismatches:
+            raise SystemExit(
+                f"stored profile at {args.profile_path} does not match "
+                f"this run: {'; '.join(mismatches)} — delete the file to "
+                "re-freeze, or rerun with the stored settings"
+            )
     else:
         if group_keys:
             profile = reference_profile_grouped(

@@ -44,7 +44,17 @@ def token_counts(df: DataFrame, col: str) -> DataFrame:
 
 
 def vocab_difference_frame(ref: DataFrame, cur: DataFrame, col: str) -> DataFrame:
-    """One row: (jaccard, js, vocab_diff, ref_vocab, cur_vocab) — C13."""
+    """One row: (jaccard, js, vocab_diff, ref_vocab, cur_vocab) — C13.
+
+    SCALE CAVEAT: the side-total fold below uses an empty-key window,
+    which routes the whole joined vocab frame through ONE task.  That
+    is bounded by |window vocabulary| under reference semantics (drift
+    WINDOWS of ~100 samples, ``default_config.py:104`` — a few thousand
+    distinct tokens), not corpora.  Pointing this helper at corpus-
+    scale text would make that window the bottleneck; the corpus-scale
+    shape is the same plan with the totals aggregated to a 1-row frame
+    and broadcast-crossJoined back (still lazy, still one action).
+    """
     r = token_counts(ref, col).withColumnRenamed("cnt", "cr")
     c = token_counts(cur, col).withColumnRenamed("cnt", "cc")
     j = r.join(c, "token", "full_outer")

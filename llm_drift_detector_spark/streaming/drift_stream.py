@@ -291,7 +291,13 @@ def reference_profile_grouped(
     on a cadence instead.
     """
     v = F.col(column).cast("double")
-    base = ref.where(v.isNotNull()).select(*keys, v.alias("v"))
+    # keys canonicalize to string SPARK-side, matching the per-batch
+    # select in stream_drift_grouped — Python str() disagrees with
+    # Spark's cast for e.g. booleans ('True' vs 'true'), which would
+    # misroute every row of that group to the unknown bucket
+    base = ref.where(v.isNotNull()).select(
+        *[F.col(k).cast("string").alias(k) for k in keys], v.alias("v")
+    )
     qs = [i / psi_nbins for i in range(1, psi_nbins)]
     st = base.groupBy(*keys).agg(
         F.count("v").alias("n"),
@@ -309,7 +315,7 @@ def reference_profile_grouped(
     for r in st:
         mn, mx = float(r.mn), float(r.mx)
         width = (mx - mn) / nbins if mx > mn else 1.0
-        profiles[tuple(str(r[k]) for k in keys)] = {
+        profiles[tuple(r[k] for k in keys)] = {
             "n": int(r.n),
             "mean": float(r.mean),
             "var": float(r.var),
@@ -335,7 +341,7 @@ def reference_profile_grouped(
         .collect()
     )
     for r in counts:
-        g = profiles[tuple(str(r[k]) for k in keys)]
+        g = profiles[tuple(r[k] for k in keys)]
         g["js_counts"][int(r.jb)] += r.c
         g["psi_counts"][int(r.pb)] += r.c
     for g in profiles.values():
@@ -393,12 +399,18 @@ def stream_drift_grouped(
     `profile` comes from :func:`reference_profile_grouped`.  Appends one
     metrics row per (group, epoch) to ``<out_dir>/drift_metrics``
     (group key columns string-cast + the ``DRIFT_METRICS_SCHEMA``
-    metric columns).  Per batch: ONE Spark aggregate — every group's
-    bin counts and moments ride the same broadcast-join + groupBy job,
-    never a job per group — then O(#groups x nbins) driver arithmetic.
+    metric columns + ``gated_reason``).  Per batch: ONE Spark
+    aggregate — every group's bin counts and moments ride the same
+    broadcast-join + groupBy job, never a job per group — then
+    O(#groups x nbins) driver arithmetic.
+
     Batch rows whose group has no reference profile are counted and
-    reported as an ``unknown_group`` row (gated, n = dropped rows)
-    rather than silently skipped.
+    reported as a NULL-keyed row with ``gated_reason='unknown_group'``
+    (NOT a reserved key literal, which could collide with a real group
+    value) rather than silently skipped; gated known groups carry
+    ``gated_reason='min_samples'``.  An empty/all-null batch still
+    writes its epoch partition (one NULL-keyed ``empty_batch`` row) so
+    epoch accounting matches the global variant.
     """
     column = profile["column"]
     keys = profile["keys"]
@@ -412,7 +424,8 @@ def stream_drift_grouped(
     out_schema = ", ".join(f"{k} string" for k in keys) + (
         ", run_id string, n bigint, batch_mean double, "
         "js double, psi double, ks_d double, t_stat double, "
-        "drift_score double, drift_detected boolean, gated boolean"
+        "drift_score double, drift_detected boolean, gated boolean, "
+        "gated_reason string"
     )
 
     reader = spark.readStream.schema(schema)
@@ -447,7 +460,7 @@ def stream_drift_grouped(
         acc: dict[tuple, dict] = {}
         n_unknown = 0
         for r in rows:
-            g = tuple(str(r[k]) for k in keys)
+            g = tuple(r[k] for k in keys)
             if g not in profiles:
                 n_unknown += r.c
                 continue
@@ -486,21 +499,33 @@ def stream_drift_grouped(
                     m["drift_score"],
                     bool(not gated and m["drift_score"] > 1.0),
                     bool(gated),
+                    "min_samples" if gated else None,
                 )
             )
         if n_unknown:
+            # NULL keys + marker column: a real group VALUE named
+            # 'unknown_group' stays unambiguous
             out_rows.append(
                 (
-                    *(["unknown_group"] * len(keys)),
+                    *([None] * len(keys)),
                     run_id, int(n_unknown), 0.0,
-                    0.0, 0.0, 0.0, 0.0, 0.0, False, True,
+                    0.0, 0.0, 0.0, 0.0, 0.0, False, True, "unknown_group",
                 )
             )
-        if out_rows:
-            # overwrite THIS epoch's partition: replays are idempotent
-            spark.createDataFrame(out_rows, out_schema).write.mode(
-                "overwrite"
-            ).parquet(f"{sink}/epoch={int(epoch_id)}")
+        if not out_rows:
+            # empty/all-null batch: still claim this epoch's partition
+            # (matches the global variant's per-epoch accounting)
+            out_rows.append(
+                (
+                    *([None] * len(keys)),
+                    run_id, 0, 0.0,
+                    0.0, 0.0, 0.0, 0.0, 0.0, False, True, "empty_batch",
+                )
+            )
+        # overwrite THIS epoch's partition: replays are idempotent
+        spark.createDataFrame(out_rows, out_schema).write.mode(
+            "overwrite"
+        ).parquet(f"{sink}/epoch={int(epoch_id)}")
 
     writer = stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint

@@ -168,7 +168,7 @@ def streaming_duplicate_clips(
     key_col: str = "clip_id",
     n_state_buckets: int = 512,
     id_col: str | None = None,
-    state_mode: str = "bloom",
+    state_mode: str = "exact",
     bloom_capacity_per_bucket: int = 100_000,
     bloom_fpp: float = 0.01,
 ) -> DataFrame:
@@ -185,7 +185,13 @@ def streaming_duplicate_clips(
 
     state_mode:
 
-    - ``"bloom"`` (default, continuous-mode): per-bucket state is a
+    - ``"exact"`` (default): the original xxhash64-set state (8 B/id,
+      fp rate 2^-64 per pair) — never flags a unique key, and restarting
+      a pre-existing checkpointed stream keeps working (the default must
+      not change the state-store schema under an existing checkpoint).
+      State grows with distinct keys and every trigger rewrites the full
+      set, so for UNBOUNDED continuous streams opt into ``"bloom"``.
+    - ``"bloom"`` (opt-in, continuous-mode): per-bucket state is a
       FIXED-size Bloom filter sized by ``bloom_geometry(
       bloom_capacity_per_bucket, bloom_fpp)``.  Per-trigger state
       rewrite cost is O(filter bytes), constant for the life of the
@@ -198,10 +204,10 @@ def streaming_duplicate_clips(
       18M capacity x 0.1% fpp = 65536 * ~32 MiB ≈ 2 TiB spread over
       the cluster's state stores — tunable to the precision/footprint
       point the pipeline needs, vs ~8 TB *and* O(corpus) per-trigger
-      rewrite for exact state.
-    - ``"exact"``: the original xxhash64-set state (8 B/id, fp rate
-      2^-64 per pair) — exact, but state grows forever and every
-      trigger rewrites the full set; use only for bounded backfills.
+      rewrite for exact state.  Note a downstream consumer that DROPS
+      flagged rows will discard a unique key at rate <= fpp — only pick
+      bloom when that loss budget is acceptable (or route flags to
+      review instead of deletion).
 
     First occurrence of a key is NOT emitted; the 2nd, 3rd, ... each
     emit one (clip_id) row in the trigger where they arrive — a
@@ -209,9 +215,10 @@ def streaming_duplicate_clips(
 
     CHECKPOINT COMPATIBILITY: ``state_mode`` is part of the state-store
     schema (``array<bigint>`` vs ``binary``), so it must NOT change
-    across restarts of an existing checkpointed stream — restart a
-    pre-Bloom (r3) stream with ``state_mode="exact"`` or start a fresh
-    checkpoint.  The bloom default applies to NEW streams.
+    across restarts of an existing checkpointed stream — Spark fails
+    the query on the state-schema change.  Keeping ``"exact"`` as the
+    default preserves every pre-existing checkpointed caller; opt into
+    bloom explicitly when starting a NEW continuous stream.
 
     ``id_col`` (default: the key itself) names the column EMITTED for a
     flagged row, decoupling dedup identity from the reported id:

@@ -394,8 +394,9 @@ def test_monitor_stream_job_end_to_end(spark, tmp_path, capsys):
     codecs_seen = {r.codec for r in met2}
     assert {"pcm_s16le", "flac", "opus", "wav"} <= codecs_seen
     # mp3_unknown rows exist in clips but NOT in the clean reference ->
-    # surfaced as the gated unknown_group row
-    assert "unknown_group" in codecs_seen
+    # surfaced as a NULL-keyed row with the unknown_group marker
+    unk2 = [r for r in met2 if r.gated_reason == "unknown_group"]
+    assert unk2 and all(r.codec is None and r.gated for r in unk2)
 
 
 def test_stream_drift_grouped_flags_only_shifted_group_and_batch(spark, tmp_path):
@@ -443,8 +444,73 @@ def test_stream_drift_grouped_flags_only_shifted_group_and_batch(spark, tmp_path
     flags = {(r.codec, r.epoch): r.drift_detected for r in rows}
     assert flags[("a", 0)] is False and flags[("a", 1)] is False
     assert flags[("b", 0)] is False and flags[("b", 1)] is True
-    unk = [r for r in rows if r.codec == "unknown_group"]
+    unk = [r for r in rows if r.gated_reason == "unknown_group"]
     assert len(unk) == 1 and unk[0].gated and unk[0].n == 40 and unk[0].epoch == 1
+    assert unk[0].codec is None  # marker column, not a reserved key value
+
+
+def test_grouped_profile_boolean_key_canonicalization(spark, tmp_path):
+    """Profile build and per-batch routing share SPARK's string cast for
+    group keys: a boolean key yields 'true'/'false' on both sides, so
+    its rows reach their own profile instead of the unknown bucket
+    (Python str() would have built 'True' at profile time)."""
+    import numpy as np
+
+    from llm_drift_detector_spark.streaming import (
+        reference_profile_grouped,
+        stream_drift_grouped,
+    )
+
+    rng = np.random.default_rng(53)
+    src, out = str(tmp_path / "src"), str(tmp_path / "out")
+    ref = spark.createDataFrame(
+        [(True, float(v)) for v in rng.normal(10, 2, 400)]
+        + [(False, float(v)) for v in rng.normal(100, 10, 400)],
+        "flag boolean, v double",
+    )
+    prof = reference_profile_grouped(ref, ["flag"], "v", nbins=12, psi_nbins=4)
+    assert set(prof["profiles"]) == {("true",), ("false",)}
+
+    spark.createDataFrame(
+        [(True, float(v)) for v in rng.normal(10, 2, 200)]
+        + [(False, float(v)) for v in rng.normal(100, 10, 200)],
+        "flag boolean, v double",
+    ).coalesce(1).write.parquet(src)
+    stream_drift_grouped(
+        spark, src, prof, out, schema="flag boolean, v double"
+    )
+    rows = spark.read.parquet(f"{out}/drift_metrics_grouped").collect()
+    assert {r.flag for r in rows} == {"true", "false"}
+    assert not any(r.gated_reason == "unknown_group" for r in rows)
+    assert all(not r.gated and not r.drift_detected for r in rows)
+
+
+def test_grouped_empty_batch_writes_epoch_placeholder(spark, tmp_path):
+    """An all-null batch still claims its epoch partition (NULL-keyed
+    empty_batch row) so epoch accounting matches the global variant."""
+    import numpy as np
+
+    from llm_drift_detector_spark.streaming import (
+        reference_profile_grouped,
+        stream_drift_grouped,
+    )
+
+    rng = np.random.default_rng(59)
+    src, out = str(tmp_path / "src"), str(tmp_path / "out")
+    ref = spark.createDataFrame(
+        [("a", float(v)) for v in rng.normal(10, 2, 300)],
+        "codec string, v double",
+    )
+    prof = reference_profile_grouped(ref, ["codec"], "v", nbins=12, psi_nbins=4)
+    spark.createDataFrame(
+        [("a", None), ("a", None)], "codec string, v double"
+    ).coalesce(1).write.parquet(src)
+    stream_drift_grouped(spark, src, prof, out, schema="codec string, v double")
+    rows = spark.read.parquet(f"{out}/drift_metrics_grouped").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.codec is None and r.gated and r.n == 0
+    assert r.gated_reason == "empty_batch" and int(r.epoch) == 0
 
 
 def test_stream_drift_checkpoint_resume_is_exactly_once(spark, tmp_path):
@@ -545,6 +611,23 @@ def test_profile_save_load_roundtrip_and_cli_reuse(spark, tmp_path, capsys):
     s2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert s2["reference_rows"] == s1["reference_rows"] == 6000
     assert s2["drift_detected_epochs"] == []  # judged vs the frozen profile
+
+    # a rerun asking for a DIFFERENT drift column / bin geometry than the
+    # stored profile must be rejected, not silently monitor the stored
+    # column while reporting the requested one
+    for bad in (
+        ["--drift-column", "sr_hz"],
+        ["--nbins", "13"],
+        ["--psi-nbins", "7"],
+    ):
+        args3 = list(args2)
+        if bad[0] in args3:
+            args3[args3.index(bad[0]) + 1] = bad[1]
+        else:
+            args3 += bad
+        args3[args3.index(str(tmp_path / "m2"))] = str(tmp_path / "m3")
+        with pytest.raises(SystemExit, match="does not match"):
+            monitor_stream.main(args3)
 
 
 def test_monitor_stream_zero_batch_reports_zeros(spark, tmp_path, capsys):
