@@ -27,6 +27,12 @@ Writes to --out:
 
 - ``violations_stream/``  violation rows per micro-batch (stream_validate)
 - ``drift_metrics/``      one drift row per epoch (stream_drift)
+- ``embedding_metrics/``  one embedding-drift row per epoch, when
+  --embedding-column is given (stream_embedding_drift vs a frozen
+  centroid profile; the reference's detector registry runs the
+  distribution AND embedding families per cadence,
+  ``detectors/__init__.py:58-86`` — this closes the embedding half in
+  continuous mode)
 
 Prints one JSON summary line in AvailableNow mode.
 """
@@ -68,6 +74,32 @@ def main(argv: list[str] | None = None) -> int:
         "exists it is LOADED (a restart compares against the identical "
         "frozen reference even if the reference table changed); "
         "otherwise the profile is computed and saved there",
+    )
+    p.add_argument(
+        "--embedding-column", default=None,
+        help="stream the EMBEDDING drift family too (C6-C9 per "
+        "micro-batch vs a frozen centroid profile); names the "
+        "array<float> column in --embedding-dir",
+    )
+    p.add_argument(
+        "--embedding-dir", default=None,
+        help="parquet dir to watch for embedding rows (default: "
+        "--clips-dir); its read schema is taken from "
+        "--embedding-reference",
+    )
+    p.add_argument(
+        "--embedding-reference", default=None,
+        help="path-or-table of the clean reference window carrying the "
+        "embedding column (default: --transcripts)",
+    )
+    p.add_argument(
+        "--embedding-group-keys", default=None,
+        help="comma-separated key columns for PER-GROUP embedding drift",
+    )
+    p.add_argument(
+        "--embedding-profile-path", default=None,
+        help="persist/reuse the frozen embedding profile as JSON "
+        "(same load-or-compute contract as --profile-path)",
     )
     p.add_argument(
         "--continuous", action="store_true",
@@ -140,6 +172,66 @@ def main(argv: list[str] | None = None) -> int:
 
             save_profile(profile, args.profile_path)
 
+    # optional third family: frozen-centroid embedding drift
+    emb_profile = None
+    emb_keys = None
+    emb_schema = None
+    if args.embedding_column:
+        from llm_drift_detector_spark.streaming import (
+            embedding_reference_profile,
+            embedding_reference_profile_grouped,
+        )
+
+        emb_keys = (
+            args.embedding_group_keys.split(",")
+            if args.embedding_group_keys
+            else None
+        )
+        emb_ref = (
+            _load(spark, args.embedding_reference)
+            if args.embedding_reference
+            else transcripts
+        )
+        emb_schema = emb_ref.schema
+        if args.embedding_profile_path and os.path.exists(
+            args.embedding_profile_path
+        ):
+            from llm_drift_detector_spark.streaming import load_profile
+
+            emb_profile = load_profile(args.embedding_profile_path)
+            emb_mismatches = [
+                f"{name}: stored={stored!r} requested={req!r}"
+                for name, stored, req in (
+                    (
+                        "kind",
+                        emb_profile.get("kind"),
+                        "embedding_grouped" if emb_keys else "embedding",
+                    ),
+                    ("column", emb_profile.get("column"), args.embedding_column),
+                    ("keys", emb_profile.get("keys"), emb_keys),
+                )
+                if stored != req
+            ]
+            if emb_mismatches:
+                raise SystemExit(
+                    f"stored embedding profile at "
+                    f"{args.embedding_profile_path} does not match this "
+                    f"run: {'; '.join(emb_mismatches)}"
+                )
+        else:
+            if emb_keys:
+                emb_profile = embedding_reference_profile_grouped(
+                    emb_ref, emb_keys, args.embedding_column
+                )
+            else:
+                emb_profile = embedding_reference_profile(
+                    emb_ref, args.embedding_column
+                )
+            if args.embedding_profile_path:
+                from llm_drift_detector_spark.streaming import save_profile
+
+                save_profile(emb_profile, args.embedding_profile_path)
+
     available_now = not args.continuous
     qv = stream_validate(
         spark,
@@ -162,6 +254,25 @@ def main(argv: list[str] | None = None) -> int:
         available_now=available_now,
         max_files_per_trigger=args.max_files_per_trigger,
     )
+    if emb_profile is not None:
+        from llm_drift_detector_spark.streaming import (
+            stream_embedding_drift,
+            stream_embedding_drift_grouped,
+        )
+
+        emb_fn = (
+            stream_embedding_drift_grouped if emb_keys else stream_embedding_drift
+        )
+        emb_fn(
+            spark,
+            args.embedding_dir or args.clips_dir,
+            emb_profile,
+            args.out,
+            schema=emb_schema,
+            run_id=args.run_id,
+            available_now=available_now,
+            max_files_per_trigger=args.max_files_per_trigger,
+        )
     if not available_now:
         spark.streams.awaitAnyTermination()
         return 0
@@ -202,6 +313,28 @@ def main(argv: list[str] | None = None) -> int:
         summary["drift_detected_epochs"] = [
             int(r.epoch) for r in rows if r.drift_detected
         ]
+    if emb_profile is not None:
+        emb_path = os.path.join(
+            args.out,
+            "embedding_metrics_grouped" if emb_keys else "embedding_metrics",
+        )
+        try:
+            erows = sorted(
+                spark.read.parquet(emb_path).collect(), key=lambda r: r.epoch
+            )
+        except Exception:
+            erows = []
+        summary["embedding_epochs"] = len({int(r.epoch) for r in erows})
+        if emb_keys:
+            summary["embedding_drift_detected"] = [
+                {**{k: r[k] for k in emb_keys}, "epoch": int(r.epoch)}
+                for r in erows
+                if r.drift_detected
+            ]
+        else:
+            summary["embedding_drift_detected_epochs"] = [
+                int(r.epoch) for r in erows if r.drift_detected
+            ]
     print(json.dumps(summary))
     return 0
 

@@ -6,5 +6,11 @@ from .drift_stream import (  # noqa: F401
     stream_drift,
     stream_drift_grouped,
 )
+from .embedding_stream import (  # noqa: F401
+    embedding_reference_profile,
+    embedding_reference_profile_grouped,
+    stream_embedding_drift,
+    stream_embedding_drift_grouped,
+)
 from .stateful import running_drift_state, streaming_duplicate_clips  # noqa: F401
 from .validate_stream import stream_validate, windowed_violation_counts  # noqa: F401
