@@ -1,17 +1,20 @@
 """Multimodal payload plumbing: image / video / generic media columns.
 
 Media are opaque ``binary`` columns with typed metadata, validated and
-featurized through the same Arrow-batched path as audio.  The container
-has no image/video libraries, so the DECODE KERNEL is stubbed exactly as
-mandated: ``decode_mode="real"`` raises NotImplementedError at the
-documented plug point (PIL / ffmpeg), while ``decode_mode="fake"`` runs
-a deterministic byte-level stand-in so the Spark-side plumbing — schema,
-partitioning, UDF signature, Arrow batch shape — is real and tested.
+featurized through the same Arrow-batched path as audio.  The kernel
+registry carries TWO genuine container formats decoded stdlib-only —
+``"wav"`` (RIFF chunk walker, r4) and ``"bmp"`` (24-bit BMP struct
+walker, r5) — plus the deterministic ``"fake"`` byte-level stand-in;
+``decode_mode="real"`` raises NotImplementedError at the documented
+plug point (PIL / ffmpeg), which after r5 covers only video.
 
 Operators:
-- :func:`media_features` — decode + feature-extract: per-item byte-
-  histogram feature vector (the fake kernel) + declared-vs-actual size
-  checks.
+- :func:`media_features` — decode + feature-extract through the kernel
+  registry: per-item feature vector + decode_status routing.
+- :func:`image_features` — typed image featurization over real BMP
+  payloads: declared dims vs rows actually decoded, luma mean/std,
+  Shannon entropy; malformed payloads route to ``decode_failed``,
+  truncated pixel regions to ``truncated``.
 - :func:`frame_sample` — video frame sampling: every k-th fixed-size
   block as one "frame" row (one-to-many, the engine's UDTF-shaped op).
 """
@@ -65,7 +68,30 @@ def _wav_decode_feature(payload: bytes) -> np.ndarray:
     return hist / hist.sum()
 
 
-_DECODE_KERNELS = {"fake": _fake_decode_feature, "wav": _wav_decode_feature}
+def _bmp_decode_feature(payload: bytes) -> np.ndarray:
+    """A REAL image decoder behind the same seam (r5): parse the 24-bit
+    BMP container with the stdlib struct walker (``codecs.bmp_parse``)
+    and featurize the decoded PIXELS (normalized luma histogram), not
+    their bytes.  With wav this makes the registry two genuine formats
+    deep — the NotImplementedError plug point now covers only video.
+    Raises ValueError on malformed payloads (-> decode_status=
+    'decode_failed')."""
+    from .. import codecs
+
+    _w, _h, pixels = codecs.bmp_parse(payload)
+    if pixels.size == 0:
+        return np.zeros(FEATURE_BINS, dtype=np.float32)
+    luma = codecs.bmp_luma(pixels)
+    idx = np.minimum((luma * FEATURE_BINS).astype(np.int64), FEATURE_BINS - 1)
+    hist = np.bincount(idx.ravel(), minlength=FEATURE_BINS).astype(np.float32)
+    return hist / hist.sum()
+
+
+_DECODE_KERNELS = {
+    "fake": _fake_decode_feature,
+    "wav": _wav_decode_feature,
+    "bmp": _bmp_decode_feature,
+}
 
 
 def media_features(
@@ -84,11 +110,13 @@ def media_features(
     """
     if decode_mode == "real":
         raise NotImplementedError(
-            "real IMAGE/VIDEO decode needs PIL/ffmpeg — not available in "
-            "this environment; plug the real kernel into the "
-            "_DECODE_KERNELS seam (same signature: bytes -> feature "
-            "vector).  decode_mode='wav' demonstrates the seam with a "
-            "genuine container format the repo CAN decode."
+            "general-purpose IMAGE/VIDEO decode needs PIL/ffmpeg — not "
+            "available in this environment; plug the real kernel into "
+            "the _DECODE_KERNELS seam (same signature: bytes -> feature "
+            "vector).  decode_mode='wav' (audio) and decode_mode='bmp' "
+            "(image) demonstrate the seam with genuine container "
+            "formats the repo CAN decode; only video lacks a real "
+            "kernel."
         )
     if decode_mode not in _DECODE_KERNELS:
         raise ValueError(f"unknown decode_mode: {decode_mode}")
@@ -142,6 +170,100 @@ def media_features(
     n = int(n_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     salted = sel.repartition(n, F.xxhash64("item_id", F.lit(salt)))
     return salted.mapInArrow(kernel, schema=MEDIA_FEATURES_SCHEMA)
+
+
+IMAGE_FEATURES_SCHEMA = (
+    "item_id string, width int, height int, rows_decoded int, "
+    "mean_luma double, std_luma double, entropy double, decode_status string"
+)
+
+
+def image_features(
+    df: DataFrame,
+    id_col: str = "item_id",
+    media_col: str = "media",
+    n_partitions: int | None = None,
+    salt: int = 0,
+) -> DataFrame:
+    """Typed image features from REAL BMP payloads (r5 image tier).
+
+    Per item: declared (width, height) from the header, rows actually
+    decoded, Rec. 601 luma mean/std, and the Shannon entropy (bits) of
+    the 256-level luma histogram.  decode_status:
+
+    - ``ok``            full pixel region decoded
+    - ``truncated``     header parsed but fewer complete rows present
+                        (the image analogue of the audio dur-mismatch)
+    - ``decode_failed`` malformed header / unsupported layout
+    - ``null_payload``  NULL media column
+
+    Same scale shape as the audio decoder: salted repartition on the id
+    defuses payload-size skew before the Arrow-batched kernel.
+    """
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from .. import codecs
+
+        schema = pa.schema(
+            [
+                ("item_id", pa.string()),
+                ("width", pa.int32()),
+                ("height", pa.int32()),
+                ("rows_decoded", pa.int32()),
+                ("mean_luma", pa.float64()),
+                ("std_luma", pa.float64()),
+                ("entropy", pa.float64()),
+                ("decode_status", pa.string()),
+            ]
+        )
+        for b in batches:
+            ids = b.column("item_id").to_pylist()
+            media = b.column("media")
+            out = {k: [] for k in ("w", "h", "rows", "mean", "std", "ent", "status")}
+            for i in range(b.num_rows):
+                if not media[i].is_valid:
+                    for k, v in zip(out, (0, 0, 0, None, None, None, "null_payload")):
+                        out[k].append(v)
+                    continue
+                try:
+                    w, h, pixels = codecs.bmp_parse(media[i].as_py())
+                except ValueError:
+                    for k, v in zip(out, (0, 0, 0, None, None, None, "decode_failed")):
+                        out[k].append(v)
+                    continue
+                rows = int(pixels.shape[0])
+                if pixels.size:
+                    luma = codecs.bmp_luma(pixels)
+                    counts = np.bincount(
+                        np.minimum((luma * 256).astype(np.int64), 255).ravel(),
+                        minlength=256,
+                    )
+                    p = counts[counts > 0] / counts.sum()
+                    ent = float(-(p * np.log2(p)).sum())
+                    mean, std = float(luma.mean()), float(luma.std())
+                else:
+                    mean = std = ent = None
+                status = "ok" if rows == h else "truncated"
+                for k, v in zip(out, (w, h, rows, mean, std, ent, status)):
+                    out[k].append(v)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.string()),
+                    pa.array(out["w"], pa.int32()),
+                    pa.array(out["h"], pa.int32()),
+                    pa.array(out["rows"], pa.int32()),
+                    pa.array(out["mean"], pa.float64()),
+                    pa.array(out["std"], pa.float64()),
+                    pa.array(out["ent"], pa.float64()),
+                    pa.array(out["status"], pa.string()),
+                ],
+                schema=schema,
+            )
+
+    sel = df.select(F.col(id_col).alias("item_id"), F.col(media_col).alias("media"))
+    n = int(n_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    salted = sel.repartition(n, F.xxhash64("item_id", F.lit(salt)))
+    return salted.mapInArrow(kernel, schema=IMAGE_FEATURES_SCHEMA)
 
 
 def frame_sample(

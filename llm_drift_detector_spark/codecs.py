@@ -127,6 +127,89 @@ def wav_sample_rate(payload: bytes) -> int:
     return wav_parse(payload)[1]
 
 
+# --- BMP (image container) ---------------------------------------------------
+#
+# Second REAL on-disk format behind the multimodal decode seam (the wav
+# playbook applied to images): 24-bit uncompressed Windows BMP
+# (BITMAPFILEHEADER + BITMAPINFOHEADER + bottom-up BGR rows padded to 4
+# bytes), parsed/emitted with stdlib ``struct`` only.  The reference has
+# no image path; this proves the checks/multimodal.py kernel registry
+# with a genuine image format the sandbox CAN decode (PIL-free).
+
+BMP_HEADER_BYTES = 54  # BITMAPFILEHEADER (14) + BITMAPINFOHEADER (40)
+
+
+def bmp_encode(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB array -> 24-bit BI_RGB BMP bytes (bottom-up)."""
+    if pixels.ndim != 3 or pixels.shape[2] != 3:
+        raise ValueError(f"bmp encode expects (h, w, 3) RGB, got {pixels.shape}")
+    h, w = int(pixels.shape[0]), int(pixels.shape[1])
+    stride = (w * 3 + 3) & ~3
+    rows = []
+    pad = b"\x00" * (stride - w * 3)
+    for y in range(h - 1, -1, -1):  # bottom-up row order
+        rows.append(pixels[y, :, ::-1].astype(np.uint8).tobytes() + pad)  # BGR
+    data = b"".join(rows)
+    return b"".join(
+        (
+            b"BM",
+            struct.pack("<IHHI", BMP_HEADER_BYTES + len(data), 0, 0, BMP_HEADER_BYTES),
+            # DIB: size, width, height (+ = bottom-up), planes, bpp,
+            # compression (0 = BI_RGB), image size, x/y ppm, palette counts
+            struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0),
+            data,
+        )
+    )
+
+
+def bmp_parse(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """BMP bytes -> (declared_width, declared_height, pixels).
+
+    Returns the COMPLETE rows actually present as an (rows_avail, w, 3)
+    uint8 RGB array in top-down order — a truncated pixel region decodes
+    to fewer rows (which the declared-vs-actual check then flags) rather
+    than erroring, mirroring :func:`wav_parse`.  Supports bottom-up
+    (height > 0) and top-down (height < 0) row order.  Raises ValueError
+    on malformed headers or unsupported layouts (palette / RLE / !=24bpp).
+    """
+    if len(payload) < BMP_HEADER_BYTES or payload[0:2] != b"BM":
+        raise ValueError("bmp decode failed: not a BM stream")
+    (data_offset,) = struct.unpack_from("<I", payload, 10)
+    dib_size, w, h_signed = struct.unpack_from("<Iii", payload, 14)
+    if dib_size < 40:
+        raise ValueError(f"bmp decode failed: short DIB header ({dib_size})")
+    planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+    if planes != 1 or bpp != 24 or compression != 0:
+        raise ValueError(
+            f"bmp decode failed: unsupported layout planes={planes} "
+            f"bpp={bpp} compression={compression}"
+        )
+    if w <= 0 or h_signed == 0 or data_offset < BMP_HEADER_BYTES:
+        raise ValueError(
+            f"bmp decode failed: bad geometry w={w} h={h_signed} offset={data_offset}"
+        )
+    h = abs(h_signed)
+    stride = (w * 3 + 3) & ~3
+    body = payload[data_offset:]
+    rows_avail = min(h, len(body) // stride)
+    if rows_avail == 0:
+        return w, h, np.zeros((0, w, 3), dtype=np.uint8)
+    raw = np.frombuffer(body[: rows_avail * stride], dtype=np.uint8).reshape(
+        rows_avail, stride
+    )
+    bgr = raw[:, : w * 3].reshape(rows_avail, w, 3)
+    rgb = bgr[:, :, ::-1]
+    if h_signed > 0:  # bottom-up storage -> flip to top-down
+        rgb = rgb[::-1]
+    return w, h, np.ascontiguousarray(rgb)
+
+
+def bmp_luma(pixels: np.ndarray) -> np.ndarray:
+    """Rec. 601 luma in [0, 1] from (h, w, 3) uint8 RGB."""
+    p = pixels.astype(np.float64)
+    return (0.299 * p[..., 0] + 0.587 * p[..., 1] + 0.114 * p[..., 2]) / 255.0
+
+
 # --- public API -------------------------------------------------------------
 
 def encode(pcm: np.ndarray, codec: str, sr_hz: int | None = None) -> bytes:
