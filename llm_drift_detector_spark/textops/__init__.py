@@ -8,6 +8,12 @@ from .dedup import (  # noqa: F401
     shingles,
     simhash_signatures,
 )
+from .containment import (  # noqa: F401
+    containment_candidates,
+    positional_shingles,
+    text_containment_pairs,
+    verify_text_containment,
+)
 from .quality import (  # noqa: F401
     fingerprint,
     language_id,
