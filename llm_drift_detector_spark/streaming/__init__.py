@@ -5,6 +5,7 @@ from .drift_stream import (  # noqa: F401
     save_profile,
     stream_drift,
     stream_drift_grouped,
+    update_reference_profile,
 )
 from .embedding_stream import (  # noqa: F401
     embedding_reference_profile,

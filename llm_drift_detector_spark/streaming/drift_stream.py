@@ -116,6 +116,104 @@ def reference_profile(
     }
 
 
+def update_reference_profile(
+    profile: dict,
+    new_data: DataFrame,
+    rebin_rel_threshold: float = 0.25,
+) -> dict:
+    """Incrementally fold ``new_data`` into a frozen profile — without
+    touching the data the profile was built from.
+
+    The reference recomputes its distribution from scratch per update
+    (``data/processor.py:162-207``); at 10^12 rows the refresh must be
+    INCREMENTAL.  Every profile component is mergeable:
+
+    - moments: count/mean/M2 merged exactly by Chan et al.'s parallel
+      update (the same algebra Spark's own partial aggregates use);
+    - bin counts: the new rows are binned against the profile's FROZEN
+      geometry (same ``_clamped_bin`` / ``_psi_bucket`` expressions the
+      stream uses) and added — so ``merged == from-scratch over the
+      concatenated data at the same frozen edges``, exactly, for
+      count/bins (and to fp roundoff for mean/var; pytest-asserted).
+
+    The bin GEOMETRY (mn/width/edges) stays frozen — it is the drift
+    contract; silently re-deriving it would make metric history
+    incomparable across the swap.  Instead the observed data range is
+    tracked (``data_mn``/``data_mx``) and when the new data extends
+    beyond the frozen range by more than ``rebin_rel_threshold`` x
+    (mx - mn) the returned profile carries ``needs_rebin=True``: the
+    out-of-range mass is clamping into the edge bins, and the caller
+    should schedule a full re-freeze (one :func:`reference_profile`
+    pass) at the next maintenance window.  One Spark job per update
+    (the stream_drift aggregate + min/max in the same pass).
+
+    The merged dict is a drop-in :func:`stream_drift` profile — a
+    running monitor hot-swaps it by restarting with
+    ``--profile-path`` pointing at the re-saved JSON.
+    """
+    column = profile["column"]
+    nbins, psi_nbins = profile["nbins"], profile["psi_nbins"]
+    mn, width, edges = profile["mn"], profile["width"], profile["edges"]
+    v = F.col(column).cast("double")
+    base = new_data.where(v.isNotNull()).select(v.alias("v"))
+    rows = (
+        base.groupBy(
+            _clamped_bin(F.col("v"), mn, width, nbins).alias("jb"),
+            _psi_bucket(F.col("v"), edges).alias("pb"),
+        )
+        .agg(
+            F.count("*").alias("c"),
+            F.sum("v").alias("s"),
+            F.sum(F.col("v") * F.col("v")).alias("ss"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+        .collect()
+    )
+    js_c = np.asarray(profile["js_counts"], dtype=np.float64).copy()
+    psi_c = np.asarray(profile["psi_counts"], dtype=np.float64).copy()
+    n2, s2, ss2 = 0, 0.0, 0.0
+    new_mn, new_mx = math.inf, -math.inf
+    for r in rows:
+        js_c[int(r.jb)] += r.c
+        psi_c[int(r.pb)] += r.c
+        n2 += r.c
+        s2 += r.s
+        ss2 += r.ss
+        new_mn = min(new_mn, r.mn)
+        new_mx = max(new_mx, r.mx)
+    if n2 == 0:  # nothing to fold in
+        return dict(profile)
+
+    # Chan parallel moments merge: exact in the same sense as Spark's
+    # own partial aggregation
+    n1, m1 = profile["n"], profile["mean"]
+    m2_1 = profile["var"] * (n1 - 1) if n1 > 1 else 0.0
+    mean2 = s2 / n2
+    m2_2 = ss2 - n2 * mean2 * mean2
+    n = n1 + n2
+    delta = mean2 - m1
+    mean = m1 + delta * n2 / n
+    m2 = m2_1 + m2_2 + delta * delta * n1 * n2 / n
+    var = m2 / (n - 1) if n > 1 else 0.0
+
+    data_mn = min(profile.get("data_mn", profile["mn"]), new_mn)
+    data_mx = max(profile.get("data_mx", profile["mx"]), new_mx)
+    span = max(profile["mx"] - profile["mn"], 1e-300)
+    range_excess = max(profile["mn"] - data_mn, data_mx - profile["mx"]) / span
+    return {
+        **profile,
+        "n": int(n),
+        "mean": float(mean),
+        "var": float(var),
+        "js_counts": js_c.tolist(),
+        "psi_counts": psi_c.tolist(),
+        "data_mn": float(data_mn),
+        "data_mx": float(data_mx),
+        "needs_rebin": bool(range_excess > rebin_rel_threshold),
+    }
+
+
 def _clamped_bin(v, mn: float, width: float, nbins: int):
     """Equal-width bin against the FROZEN range; out-of-range values
     clamp into the edge bins."""
