@@ -102,6 +102,17 @@ def main(argv: list[str] | None = None) -> int:
         "(same load-or-compute contract as --profile-path)",
     )
     p.add_argument(
+        "--alert-cooldown-minutes", type=float, default=60.0,
+        help="C19 throttle window: one alert per (column, detector, "
+        "level) key per cooldown (critical bypasses at half)",
+    )
+    p.add_argument(
+        "--epoch-minutes", type=float, default=60.0,
+        help="wall-clock spacing assigned to consecutive epochs for the "
+        "alert cooldown arithmetic (the reference's "
+        "detection_frequency_minutes, default_config.py:106)",
+    )
+    p.add_argument(
         "--continuous", action="store_true",
         help="run until killed instead of draining the backlog once",
     )
@@ -335,6 +346,76 @@ def main(argv: list[str] | None = None) -> int:
             summary["embedding_drift_detected_epochs"] = [
                 int(r.epoch) for r in erows if r.drift_detected
             ]
+    # ---- C19 alert derivation over the drained epochs -----------------
+    #
+    # AlertManager (batch-side C19) runs over each epoch's metric rows
+    # in epoch order: level classification + (column, detector, level)
+    # cooldown throttling, with critical bypassing at half cooldown.
+    # Epochs map to synthetic timestamps (epoch * --epoch-minutes from a
+    # fixed origin) so the arithmetic is deterministic, and the throttle
+    # state persists to alerts_state.json so a RESTARTED drain respects
+    # cooldowns from previous runs instead of re-alerting on its first
+    # epoch.
+    from datetime import datetime, timedelta
+
+    from llm_drift_detector_spark.monitoring import AlertManager
+
+    mgr = AlertManager(cooldown_minutes=args.alert_cooldown_minutes)
+    state_path = os.path.join(args.out, "alerts_state.json")
+    mgr.load_state(state_path)
+    origin = datetime(2000, 1, 1)
+
+    def group_suffix(r, keys):
+        return "|" + ",".join(str(r[k]) for k in keys) if keys else ""
+
+    epoch_metrics: dict[int, list[dict]] = {}
+    for r in rows:
+        if r.gated:
+            continue
+        epoch_metrics.setdefault(int(r.epoch), []).append(
+            {
+                "detector_name": "distribution_stream",
+                "column": args.drift_column + group_suffix(r, group_keys or []),
+                "drift_score": float(r.drift_score),
+                "threshold": 1.0,  # drift_score is already score/threshold-normalized
+            }
+        )
+    if emb_profile is not None:
+        for r in erows:
+            if r.gated:
+                continue
+            epoch_metrics.setdefault(int(r.epoch), []).append(
+                {
+                    "detector_name": "embedding_stream",
+                    "column": args.embedding_column + group_suffix(r, emb_keys or []),
+                    "drift_score": float(r.drift_score),
+                    "threshold": 0.15,  # EMBEDDING_DETECTOR_THRESHOLD
+                }
+            )
+    alert_rows = []
+    for epoch in sorted(epoch_metrics):
+        ts = origin + timedelta(minutes=args.epoch_minutes * epoch)
+        for a in mgr.derive(
+            [{**m, "timestamp": ts} for m in epoch_metrics[epoch]]
+        ):
+            alert_rows.append(
+                (
+                    int(epoch), a.level, a.detector_name, a.column,
+                    float(a.drift_score), float(a.threshold),
+                )
+            )
+    mgr.save_state(state_path)
+    if alert_rows:
+        spark.createDataFrame(
+            alert_rows,
+            "epoch bigint, level string, detector string, column string, "
+            "drift_score double, threshold double",
+        ).write.mode("append").parquet(os.path.join(args.out, "alerts"))
+    summary["alerts"] = [
+        {"epoch": e, "level": lvl, "detector": det, "column": col}
+        for e, lvl, det, col, _s, _t in alert_rows
+    ]
+
     print(json.dumps(summary))
     return 0
 

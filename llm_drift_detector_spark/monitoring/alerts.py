@@ -54,6 +54,35 @@ class AlertManager:
     critical_ratio: float = 1.0
     _last_sent: dict[tuple, datetime] = field(default_factory=dict)
 
+    # -- throttle-state persistence (streaming monitor restarts) --------
+    #
+    # The streaming monitor derives alerts per drained epoch; cooldown
+    # must survive a monitor RESTART or the first epoch after every
+    # restart re-alerts.  State is the (column, detector, level) ->
+    # last-sent-ts map, JSON with ISO timestamps.
+
+    def save_state(self, path: str) -> None:
+        import json
+
+        with open(path, "w") as f:
+            json.dump(
+                {"\x1f".join(map(str, k)): ts.isoformat() for k, ts in self._last_sent.items()},
+                f,
+            )
+
+    def load_state(self, path: str) -> None:
+        import json
+        import os
+
+        if not os.path.exists(path):
+            return
+        with open(path) as f:
+            raw = json.load(f)
+        self._last_sent = {
+            tuple(k.split("\x1f")): datetime.fromisoformat(ts)
+            for k, ts in raw.items()
+        }
+
     def derive(self, metric_rows: list[dict], now: datetime | None = None) -> list[Alert]:
         """metric_rows: dicts with detector_name, column, drift_score,
         threshold, timestamp (FIXTURES metrics schema).  Returns alerts

@@ -1,0 +1,76 @@
+"""C19 alerts in the streaming monitor: level classification + cooldown
+throttling over drained epochs, with state that survives restarts."""
+
+import json
+import sys
+
+import pyspark.sql.functions as F
+import pytest
+
+sys.path.insert(0, "/root/repo/jobs")
+
+
+def _write_batch(df, path):
+    df.coalesce(1).write.parquet(path)
+
+
+@pytest.fixture()
+def monitor_env(spark, tmp_path):
+    from llm_drift_detector_spark.synth import ensure_synth
+
+    root = ensure_synth(spark, "/root/testdata/sf0.001")
+    ref = spark.read.parquet(f"{root}/clips_reference")
+    clips_dir = str(tmp_path / "clips")
+    base = ref.limit(400)
+    # epoch 0: heavy dur_ms shift (critical), epoch 1: still shifted
+    # (inside cooldown), epoch 2: clean
+    _write_batch(base.withColumn("dur_ms", F.col("dur_ms") + 5000), f"{clips_dir}/b0")
+    _write_batch(base.withColumn("dur_ms", F.col("dur_ms") + 5000), f"{clips_dir}/b1")
+    _write_batch(base, f"{clips_dir}/b2")
+    return {"root": root, "clips_dir": clips_dir, "out": str(tmp_path / "out")}
+
+
+def test_critical_then_quiet_yields_one_alert(spark, monitor_env, capsys):
+    import monitor_stream
+
+    args = [
+        "--clips-dir", monitor_env["clips_dir"] + "/b*",
+        "--reference", f"{monitor_env['root']}/clips_reference",
+        "--transcripts", f"{monitor_env['root']}/transcripts",
+        "--out", monitor_env["out"],
+        "--drift-column", "dur_ms",
+        "--max-files-per-trigger", "1",
+        "--alert-cooldown-minutes", "150",
+        "--epoch-minutes", "60",
+    ]
+    assert monitor_stream.main(args) == 0
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s["epochs"] == 3
+    assert s["drift_detected_epochs"] == [0, 1]
+    # epoch 0 alerts critical; epoch 1 is 60 min later — inside the
+    # 75-min critical bypass window — so throttled; epoch 2 is clean
+    assert len(s["alerts"]) == 1
+    a = s["alerts"][0]
+    assert a["epoch"] == 0 and a["level"] == "critical"
+    assert a["detector"] == "distribution_stream" and a["column"] == "dur_ms"
+    alerts = spark.read.parquet(f"{monitor_env['out']}/alerts").collect()
+    assert len(alerts) == 1 and alerts[0].level == "critical"
+
+    # rerun the drain with nothing new: persisted throttle state keeps
+    # the already-alerted epochs silent; the alerts table does not grow
+    assert monitor_stream.main(args) == 0
+    s2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s2["alerts"] == []
+    assert spark.read.parquet(f"{monitor_env['out']}/alerts").count() == 1
+
+    # a NEW shifted epoch past the bypass window (epoch 3 = +180 min
+    # from the last alert > 75 min) re-alerts
+    ref = spark.read.parquet(f"{monitor_env['root']}/clips_reference").limit(400)
+    _write_batch(
+        ref.withColumn("dur_ms", F.col("dur_ms") + 5000),
+        f"{monitor_env['clips_dir']}/b3",
+    )
+    assert monitor_stream.main(args) == 0
+    s3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert [a["epoch"] for a in s3["alerts"]] == [3]
+    assert spark.read.parquet(f"{monitor_env['out']}/alerts").count() == 2
