@@ -842,6 +842,92 @@ def q_stream_validate_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_drift_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r4 streaming drift operator in the driver contract: a REAL
+    AvailableNow stream (one micro-batch per window file) judged against
+    a frozen reference profile.  The events current window splits into 3
+    deterministic sub-windows by ``event_id % 3``; each becomes one
+    micro-batch, and the oracle recomputes every window's frozen-profile
+    binned metrics (JS/PSI/binned-KS/Welch t/score/verdict) with
+    full-table SQL.  Epoch/run ids are dropped: file->epoch order is a
+    scheduling detail, the per-window METRIC ROWS are the contract."""
+    import tempfile
+
+    from llm_drift_detector_spark.streaming import reference_profile, stream_drift
+
+    ev = _t(spark, sf_dir, "events")
+    ref = ev.where(F.col("ts") < EVENTS_SPLIT_TS).select("value")
+    root = tempfile.mkdtemp(prefix="drv_stream_drift_")
+    for w in range(3):
+        (
+            ev.where(
+                (F.col("ts") >= EVENTS_SPLIT_TS) & (F.col("event_id") % 3 == w)
+            )
+            .select("value")
+            .coalesce(1)
+            .write.parquet(f"{root}/in/w={w}")
+        )
+    prof = reference_profile(ref, "value", nbins=ORACLE_NBINS, psi_nbins=10)
+    stream_drift(
+        spark,
+        f"{root}/in/w=*",
+        prof,
+        f"{root}/out",
+        schema="value double",
+        max_files_per_trigger=1,
+    )
+    out = spark.read.parquet(f"{root}/out/drift_metrics")
+    return _round(
+        out.select(
+            "n", "batch_mean", "js", "psi", "ks_d", "t_stat",
+            "drift_score", "drift_detected", "gated",
+        ),
+        6,
+    )
+
+
+def q_similarity_ivf_indexed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r4 PERSISTED IVF index in the driver contract: build once
+    (centroids + cluster-partitioned assignments), query through the
+    index with partition pruning and no fit at query time.  Contract
+    row: recall@10 vs brute force clears 0.8 (same as
+    similarity_ivf_topk) AND the indexed path returns the identical id
+    set as the in-session IVF at the same (n_clusters, nprobe, seed) —
+    the persisted index must not change the answer."""
+    import tempfile
+
+    from llm_drift_detector_spark.textops import (
+        ivf_build_index,
+        ivf_topk_indexed,
+        topk_brute,
+        topk_ivf,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    index_dir = os.path.join(tempfile.mkdtemp(prefix="drv_ivf_"), "index")
+    ivf_build_index(e, "vec_id", "embedding", index_dir, n_clusters=8)
+    idx_ids = {
+        r.id
+        for r in ivf_topk_indexed(
+            spark, index_dir, _ANN_QUERY, k=10, nprobe=6
+        ).collect()
+    }
+    fit_ids = {
+        r.id
+        for r in topk_ivf(
+            e, "vec_id", "embedding", _ANN_QUERY, k=10, n_clusters=8, nprobe=6
+        ).collect()
+    }
+    brute_ids = {
+        r.id for r in topk_brute(e, "vec_id", "embedding", _ANN_QUERY, k=10).collect()
+    }
+    recall = len(idx_ids & brute_ids) / 10.0
+    return spark.createDataFrame(
+        [(10, recall >= 0.8, idx_ids == fit_ids)],
+        "k int, recall_ok boolean, parity_ok boolean",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """EXACTLY 50 entries — the driver harness evaluates at most 50
     queries (VERDICT r2 #1: six r2 queries at positions 51-56 silently
@@ -852,7 +938,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     clips_drift_{js_psi,ks} / clips_embedding_centroid_cosine /
     error_rate_events — each operator stays green via the remaining
     query on its north-star table; A5's error-rate arithmetic lives
-    inside performance_drift_events)."""
+    inside performance_drift_events).  r5 swap (VERDICT r4 #2):
+    drift_moments_events (A2 arithmetic subsumed by
+    performance_drift_events + welch_t) and dedup_exact_documents
+    (exact-dup groups replayed inside dedup_clusters_documents' oracle)
+    retired; stream_drift_metrics and similarity_ivf_indexed_topk give
+    the r4 streaming-drift and persisted-index operators driver
+    representation."""
     return {
         # verdict layer / audio decode / streaming (driver-skipped in r2)
         "drift_combine_events": q_drift_combine_events,
@@ -874,7 +966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_wasserstein_events": q_drift_wasserstein_events,
         "drift_welch_t_events": q_drift_welch_t_events,
         "drift_psi_quantile_events": q_drift_psi_quantile_events,
-        "drift_moments_events": q_drift_moments_events,
+        "stream_drift_metrics": q_stream_drift_metrics,
         # relational / stats / uniqueness / referential
         "join_agg_revenue_by_nation": q_join_agg_revenue_by_nation,
         "topk_customers_by_revenue": q_topk_customers_by_revenue,
@@ -898,7 +990,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_zscore_events": q_rolling_zscore_events,
         # dedup / similarity / text pipeline
         "dedup_clusters_documents": q_dedup_clusters_documents,
-        "dedup_exact_documents": q_dedup_exact_documents,
         "dedup_minhash_documents": q_dedup_minhash_documents,
         "dedup_simhash_documents": q_dedup_simhash_documents,
         "langid_documents": q_langid_documents,
@@ -908,6 +999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk_embeddings": q_similarity_topk_embeddings,
         "similarity_lsh_topk": q_similarity_lsh_topk,
         "similarity_ivf_topk": q_similarity_ivf_topk,
+        "similarity_ivf_indexed_topk": q_similarity_ivf_indexed_topk,
         "embedding_near_duplicates": q_embedding_near_duplicates,
         # embedding drift scalars
         "embedding_centroid_cosine": q_embedding_centroid_cosine,
@@ -1758,6 +1850,97 @@ def _grouped_drift_sql(
     """
 
 
+def _stream_drift_sql(nbins: int, psi_nbins: int) -> str:
+    """Frozen-profile per-window drift metrics — the oracle for
+    q_stream_drift_metrics.  Reproduces streaming/drift_stream.py's
+    reference_profile + _binned_metrics arithmetic exactly: REF-ONLY
+    range with two-sided clamped equal-width bins, ref-decile PSI
+    buckets, density/eps/normalize JS, binned-ECDF KS, Welch t from
+    moments, score = max(js/0.1, psi/0.2).  One row per event_id%3
+    window (the same deterministic split the Spark query streams as
+    separate files)."""
+    qs = ", ".join(str(i / psi_nbins) for i in range(1, psi_nbins))
+    return f"""
+    WITH ref AS (SELECT value::DOUBLE AS v FROM events
+                 WHERE ts < TIMESTAMP '{EVENTS_SPLIT_TS}' AND value IS NOT NULL),
+    geo AS (SELECT count(*)::BIGINT AS n, avg(v) AS mean,
+                   COALESCE(var_samp(v), 0.0) AS var, min(v) AS mn, max(v) AS mx,
+                   CASE WHEN max(v) > min(v) THEN (max(v) - min(v)) / {nbins}
+                        ELSE 1.0 END AS width
+            FROM ref),
+    edges AS (SELECT unnest(quantile_cont(v, [{qs}])) AS e FROM ref),
+    rjc AS (SELECT CAST(GREATEST(LEAST(FLOOR((v - (SELECT mn FROM geo))
+                                             / (SELECT width FROM geo)),
+                                       {nbins - 1}), 0) AS INT) AS bin,
+                   count(*)::DOUBLE AS c
+            FROM ref GROUP BY bin),
+    rpb AS (SELECT (SELECT count(*) FROM edges WHERE e < x.v)::INT AS bin FROM ref x),
+    rpc AS (SELECT bin, count(*)::DOUBLE AS c FROM rpb GROUP BY bin),
+    wins AS (SELECT value::DOUBLE AS v, (event_id % 3)::INT AS w FROM events
+             WHERE ts >= TIMESTAMP '{EVENTS_SPLIT_TS}' AND value IS NOT NULL),
+    cst AS (SELECT w, count(*)::BIGINT AS n, avg(v) AS mean,
+                   COALESCE(var_samp(v), 0.0) AS var
+            FROM wins GROUP BY w),
+    cjc AS (SELECT w, CAST(GREATEST(LEAST(FLOOR((v - (SELECT mn FROM geo))
+                                                / (SELECT width FROM geo)),
+                                          {nbins - 1}), 0) AS INT) AS bin,
+                   count(*)::DOUBLE AS c
+            FROM wins GROUP BY w, bin),
+    cpb AS (SELECT w, (SELECT count(*) FROM edges WHERE e < x.v)::INT AS bin FROM wins x),
+    cpc AS (SELECT w, bin, count(*)::DOUBLE AS c FROM cpb GROUP BY w, bin),
+    grid AS (SELECT ws.w, b.bin
+             FROM (SELECT DISTINCT w FROM wins) ws,
+                  (SELECT CAST(range AS INT) AS bin FROM range({nbins})) b),
+    dens AS (SELECT g.w, g.bin,
+                    COALESCE(r.c, 0) / ((SELECT n::DOUBLE FROM geo)
+                                        * (SELECT width FROM geo)) + 1e-10 AS dr,
+                    COALESCE(cj.c, 0) / (GREATEST(s.n, 1)::DOUBLE
+                                         * (SELECT width FROM geo)) + 1e-10 AS dc
+             FROM grid g
+             JOIN cst s ON s.w = g.w
+             LEFT JOIN rjc r ON r.bin = g.bin
+             LEFT JOIN cjc cj ON cj.w = g.w AND cj.bin = g.bin),
+    probs AS (SELECT w, bin, dr / sum(dr) OVER (PARTITION BY w) AS p,
+                     dc / sum(dc) OVER (PARTITION BY w) AS q
+              FROM dens),
+    cums AS (SELECT w, p, q,
+                    sum(p) OVER (PARTITION BY w ORDER BY bin) AS cp,
+                    sum(q) OVER (PARTITION BY w ORDER BY bin) AS cq
+             FROM probs),
+    jsks AS (SELECT w,
+                    sum(0.5 * p * ln(p / ((p + q) / 2))
+                        + 0.5 * q * ln(q / ((p + q) / 2))) AS js,
+                    max(abs(cp - cq)) AS ks_d
+             FROM cums GROUP BY w),
+    pgrid AS (SELECT ws.w, b.bin
+              FROM (SELECT DISTINCT w FROM wins) ws,
+                   (SELECT CAST(range AS INT) AS bin FROM range({psi_nbins})) b),
+    pp AS (SELECT g.w,
+                  (COALESCE(r.c, 0) / GREATEST((SELECT sum(c) FROM rpc), 1.0)
+                   + 1e-10) / (1.0 + {psi_nbins} * 1e-10) AS p,
+                  (COALESCE(cp.c, 0) / GREATEST(s.n, 1)::DOUBLE
+                   + 1e-10) / (1.0 + {psi_nbins} * 1e-10) AS q
+           FROM pgrid g
+           JOIN cst s ON s.w = g.w
+           LEFT JOIN rpc r ON r.bin = g.bin
+           LEFT JOIN cpc cp ON cp.w = g.w AND cp.bin = g.bin),
+    psis AS (SELECT w, sum((p - q) * ln(p / q)) AS psi FROM pp GROUP BY w)
+    SELECT s.n::BIGINT AS n, ROUND(s.mean, 6) AS batch_mean,
+           ROUND(j.js, 6) AS js, ROUND(ps.psi, 6) AS psi,
+           ROUND(j.ks_d, 6) AS ks_d,
+           ROUND(CASE WHEN ((SELECT var FROM geo) / (SELECT n FROM geo)
+                            + s.var / s.n) > 0
+                      THEN ((SELECT mean FROM geo) - s.mean)
+                           / sqrt((SELECT var FROM geo) / (SELECT n FROM geo)
+                                  + s.var / s.n)
+                      ELSE 0.0 END, 6) AS t_stat,
+           ROUND(GREATEST(j.js / 0.1, ps.psi / 0.2), 6) AS drift_score,
+           (s.n >= 10 AND GREATEST(j.js / 0.1, ps.psi / 0.2) > 1.0) AS drift_detected,
+           (s.n < 10) AS gated
+    FROM cst s JOIN jsks j USING (w) JOIN psis ps USING (w)
+    """
+
+
 def _moments_sql(ref_sql: str, cur_sql: str) -> str:
     def side(src: str, name: str) -> str:
         return f"""
@@ -1802,7 +1985,6 @@ def oracle_sql() -> dict[str, str]:
             c AS (SELECT grp, count(*) AS n, min(id) AS cluster_id FROM g GROUP BY grp)
             SELECT id, cluster_id FROM g JOIN c USING (grp) WHERE n > 1 ORDER BY id
         """,
-        "dedup_exact_documents": _dedup_exact_sql(),
         "dedup_minhash_documents": _minhash_sql(8),
         "dedup_simhash_documents": _simhash_sql(SIMHASH_BITS),
         "langid_documents": _langid_sql(),
@@ -1822,6 +2004,9 @@ def oracle_sql() -> dict[str, str]:
         "similarity_topk_embeddings": _ann_topk_sql(10),
         "similarity_lsh_topk": _lsh_topk_sql(10),
         "similarity_ivf_topk": "SELECT 10 AS k, TRUE AS recall_ok",
+        "similarity_ivf_indexed_topk": (
+            "SELECT 10 AS k, TRUE AS recall_ok, TRUE AS parity_ok"
+        ),
         "embedding_near_duplicates": _near_dup_sql(0.3),
         "uniqueness_orders_approx": """
             SELECT count(o_orderkey)::BIGINT AS total,
@@ -1857,7 +2042,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT embedding AS e FROM embeddings WHERE vec_id % 2 = 1",
             64,
         ),
-        "drift_moments_events": _moments_sql(_EVENTS_REF, _EVENTS_CUR),
+        "stream_drift_metrics": _stream_drift_sql(ORACLE_NBINS, 10),
         "join_agg_revenue_by_nation": """
             SELECT n.n_name AS nation,
                    ROUND(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
