@@ -35,6 +35,14 @@ Writes to --out:
   continuous mode)
 
 Prints one JSON summary line in AvailableNow mode.
+
+Measured drain throughput (tools/stream_bench.py, sf0.1 = 600k clips,
+local[32], 16 micro-batches): distribution drift 26.1k rows/sec (p50
+trigger 1.2 s), embedding drift 20.2k rows/sec (p50 1.8 s), full
+8-check validation 7.9k clips/sec (p50 4.3 s — per-batch re-joins
+against transcripts/reference are the documented cost of batch-local
+streaming validation), bloom payload dedup 19.3k rows/sec with a
+constant 123 MB state footprint.  Full table in BENCH/BASELINE.md.
 """
 
 from __future__ import annotations

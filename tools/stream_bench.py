@@ -1,0 +1,196 @@
+"""Streaming monitor throughput/latency bench (VERDICT r4 #7).
+
+Drains the sf0.1 synthetic clips backlog (32 parquet part-files,
+600k clips) through the three streaming operators in AvailableNow mode
+with ``maxFilesPerTrigger=2`` (16 micro-batches — >= 10 triggers as the
+brief requires) and reports, per stream:
+
+- rows/sec over the whole drain (wall clock from query start to
+  termination, measured around awaitTermination);
+- the per-trigger latency distribution (min / median / max of
+  ``triggerExecution`` from the query's progress events);
+- for the Bloom-state dedup stream, the state-store footprint over the
+  drain (``stateOperators.memoryUsedBytes`` first/last/max) — the
+  FIXED-size property is the point: the last trigger's state must not
+  exceed the configured bloom geometry.
+
+Streams benched:
+
+1. ``stream_drift``            frozen-profile distribution drift (one
+                               aggregate per micro-batch)
+2. ``stream_embedding_drift``  frozen-centroid embedding drift (one
+                               aggregate per micro-batch, over the
+                               transcripts backlog)
+3. ``stream_validate``         batch-local validation checks + sinks
+4. ``streaming_duplicate_clips`` (bloom) cross-batch payload dedup via
+                               applyInPandasWithState
+
+Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 python tools/stream_bench.py
+Prints one JSON line; paste the table into BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+
+def _trigger_stats(progresses) -> dict:
+    durs = [
+        p["durationMs"].get("triggerExecution", 0)
+        for p in progresses
+        if p.get("numInputRows", 0) > 0
+    ]
+    rows = sum(p.get("numInputRows", 0) for p in progresses)
+    return {
+        "triggers": len(durs),
+        "rows": int(rows),
+        "trigger_ms_min": int(min(durs)) if durs else 0,
+        "trigger_ms_p50": int(np.median(durs)) if durs else 0,
+        "trigger_ms_max": int(max(durs)) if durs else 0,
+    }
+
+
+def _progress_list(q):
+    return [
+        json.loads(p) if isinstance(p, str) else p for p in q.recentProgress
+    ]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    files_per_trigger = int(os.environ.get("STREAM_BENCH_FILES_PER_TRIGGER", "2"))
+    if "SPARK_GRAFT_LOCAL_DIR" not in os.environ and os.path.isdir("/dev/shm"):
+        os.environ["SPARK_GRAFT_LOCAL_DIR"] = "/dev/shm/spark-scratch"
+
+    from llm_drift_detector_spark.session import get_spark
+    from llm_drift_detector_spark.streaming import (
+        embedding_reference_profile,
+        reference_profile,
+        stream_drift,
+        stream_embedding_drift,
+        stream_validate,
+        streaming_duplicate_clips,
+    )
+    from llm_drift_detector_spark.streaming.validate_stream import CLIPS_DDL
+    from llm_drift_detector_spark.synth import ensure_synth
+
+    spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus)
+    root = ensure_synth(spark, sf_dir)
+    clips_dir = os.path.join(root, "clips")
+    tr_dir = os.path.join(root, "transcripts")
+    ref = spark.read.parquet(os.path.join(root, "clips_reference"))
+    tr_ref = spark.read.parquet(os.path.join(root, "transcripts_reference"))
+    transcripts = spark.read.parquet(tr_dir)
+    n_clips = spark.read.parquet(clips_dir).count()
+
+    scratch = tempfile.mkdtemp(prefix="stream_bench_", dir="/dev/shm")
+    results: dict[str, dict] = {}
+
+    # ---- 1. distribution drift stream --------------------------------
+    prof = reference_profile(ref, "dur_ms")
+    t0 = time.time()
+    q = stream_drift(
+        spark, clips_dir, prof, f"{scratch}/drift", schema=CLIPS_DDL,
+        max_files_per_trigger=files_per_trigger,
+    )
+    wall = time.time() - t0
+    st = _trigger_stats(_progress_list(q))
+    results["stream_drift"] = {
+        **st, "wall_s": round(wall, 2),
+        "rows_per_sec": int(st["rows"] / wall) if wall else 0,
+    }
+
+    # ---- 2. embedding drift stream (transcripts backlog) -------------
+    eprof = embedding_reference_profile(tr_ref, "embedding")
+    t0 = time.time()
+    q = stream_embedding_drift(
+        spark, tr_dir, eprof, f"{scratch}/edrift", schema=transcripts.schema,
+        max_files_per_trigger=files_per_trigger,
+    )
+    wall = time.time() - t0
+    st = _trigger_stats(_progress_list(q))
+    results["stream_embedding_drift"] = {
+        **st, "wall_s": round(wall, 2),
+        "rows_per_sec": int(st["rows"] / wall) if wall else 0,
+    }
+
+    # ---- 3. validation stream ----------------------------------------
+    t0 = time.time()
+    q = stream_validate(
+        spark, clips_dir, transcripts, ref, f"{scratch}/validate",
+        run_id="bench", max_files_per_trigger=files_per_trigger,
+    )
+    wall = time.time() - t0
+    st = _trigger_stats(_progress_list(q))
+    # numInputRows here counts EVERY source scan the per-batch checks
+    # union in (clips + transcript/reference joins re-read per trigger),
+    # so the honest drain rate is backlog clips / wall, reported
+    # separately from the raw input-row volume
+    results["stream_validate"] = {
+        **st, "wall_s": round(wall, 2),
+        "rows_per_sec": int(st["rows"] / wall) if wall else 0,
+        "clips_per_sec_drain": int(n_clips / wall) if wall else 0,
+    }
+
+    # ---- 4. bloom-state cross-batch dedup ----------------------------
+    stream = (
+        spark.readStream.schema(CLIPS_DDL)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(clips_dir)
+    )
+    flagged = streaming_duplicate_clips(
+        stream, key_col="bytes", id_col="clip_id", state_mode="bloom",
+        n_state_buckets=512, bloom_capacity_per_bucket=100_000, bloom_fpp=0.01,
+    )
+    t0 = time.time()
+    q = (
+        flagged.writeStream.format("parquet")
+        .option("path", f"{scratch}/dedup/out")
+        .option("checkpointLocation", f"{scratch}/dedup/cp")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    wall = time.time() - t0
+    progresses = _progress_list(q)
+    st = _trigger_stats(progresses)
+    state_bytes = [
+        op.get("memoryUsedBytes", 0)
+        for p in progresses
+        for op in p.get("stateOperators", [])
+        if p.get("numInputRows", 0) > 0
+    ]
+    dup_rows = spark.read.parquet(f"{scratch}/dedup/out").count()
+    results["streaming_dedup_bloom"] = {
+        **st, "wall_s": round(wall, 2),
+        "rows_per_sec": int(st["rows"] / wall) if wall else 0,
+        "flagged_duplicates": int(dup_rows),
+        "state_bytes_first": int(state_bytes[0]) if state_bytes else 0,
+        "state_bytes_last": int(state_bytes[-1]) if state_bytes else 0,
+        "state_bytes_max": int(max(state_bytes)) if state_bytes else 0,
+    }
+
+    shutil.rmtree(scratch, ignore_errors=True)
+    print(json.dumps({
+        "metric": "streaming monitor drain throughput",
+        "sf_dir": sf_dir,
+        "clips": int(n_clips),
+        "cpus": cpus,
+        "files_per_trigger": files_per_trigger,
+        "streams": results,
+    }))
+
+
+if __name__ == "__main__":
+    main()
