@@ -76,7 +76,7 @@ spark.stop()
 def run_level(cores: int, sf_dir: str, iters: int, snr_mode: str = "deep") -> dict:
     code = CHILD.format(repo=REPO, cores=cores, sf_dir=sf_dir, iters=iters, snr_mode=snr_mode)
     out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, timeout=1800
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
     )
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
@@ -114,14 +114,38 @@ def main() -> None:
     r8, r32 = best[str(n_cores)], best[str(n4_cores)]
     assert r8["violations"] == r32["violations"], "violation sets must match"
     eff = r32["clips_per_sec"] / (4.0 * r8["clips_per_sec"])
+    noise = {
+        k: round(max(v["all_secs"]) / max(min(v["all_secs"]), 1e-9), 2)
+        for k, v in (("N", r8), ("4N", r32))
+    }
     report = {
         "N": r8,
         "4N": r32,
         "efficiency": round(eff, 3),
         "target": 0.8,
         "pass": eff >= 0.8,
+        "sample_noise_max_over_min": noise,
     }
     print(json.dumps(report))
+
+    # Stamp guard (VERDICT r4 nit #1): single-box N->4N efficiency
+    # outside [0.5, 1.05] is physically meaningless — it means one
+    # level's samples were noise-inflated (the r4 marker headlined a
+    # superlinear 1.747 from a window whose N samples spanned 2.5x).
+    # Refuse to overwrite the marker with such a run; rerun when the
+    # host is calm.
+    if not (0.5 <= eff <= 1.05):
+        print(
+            json.dumps(
+                {
+                    "stamped": False,
+                    "reason": f"efficiency {round(eff, 3)} outside [0.5, 1.05] "
+                    f"(sample noise max/min: {noise}) — host-noise artifact, "
+                    "marker NOT updated; rerun in a calm window",
+                }
+            )
+        )
+        sys.exit(2)
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     md = f"""Generated {date.today().isoformat()} by `tools/scaling_bench.py` on
@@ -151,6 +175,11 @@ iteration, fresh JVM per level).
 
 **Scaling efficiency = {r32['clips_per_sec']:,} / (4 x {r8['clips_per_sec']:,}) =
 {report['efficiency']}** (target >= 0.8: {'PASS' if report['pass'] else 'FAIL'})
+
+Per-level sample stability (max/min over all fresh-JVM passes):
+N {noise['N']}x, 4N {noise['4N']}x.  The generator refuses to stamp
+efficiency outside [0.5, 1.05] (single-box superlinear figures are
+host-noise artifacts, not scaling evidence).
 
 Violation counts (identical at both levels, as required):
 
