@@ -43,36 +43,45 @@ def token_counts(df: DataFrame, col: str) -> DataFrame:
     )
 
 
-def vocab_difference_frame(ref: DataFrame, cur: DataFrame, col: str) -> DataFrame:
+def vocab_difference_frame(
+    ref: DataFrame, cur: DataFrame, col: str, totals: str = "window"
+) -> DataFrame:
     """One row: (jaccard, js, vocab_diff, ref_vocab, cur_vocab) — C13.
 
-    SCALE CAVEAT: the side-total fold below uses an empty-key window,
-    which routes the whole joined vocab frame through ONE task.  That
-    is bounded by |window vocabulary| under reference semantics (drift
-    WINDOWS of ~100 samples, ``default_config.py:104`` — a few thousand
-    distinct tokens), not corpora.  Pointing this helper at corpus-
-    scale text would make that window the bottleneck; the corpus-scale
-    shape is the same plan with the totals aggregated to a 1-row frame
-    and broadcast-crossJoined back (still lazy, still one action).
+    ``totals`` picks the plan shape for folding in each side's total
+    token count (which C13's JS normalizes by, semantic.py:404-407):
+
+    - ``"window"`` (default, reference semantics): empty-key window
+      sums over the joined vocab frame.  ONE task carries the whole
+      frame — bounded by |window vocabulary| under reference semantics
+      (drift WINDOWS of ~100 samples, ``default_config.py:104`` — a few
+      thousand distinct tokens), the wrong shape for corpora.
+    - ``"broadcast"`` (corpus-scale): totals aggregated to a 1-row
+      frame and broadcast-crossJoined back — the vocab frame stays
+      fully parallel (no single-partition exchange), still lazy, still
+      one action, identical results (test-asserted).
     """
     r = token_counts(ref, col).withColumnRenamed("cnt", "cr")
     c = token_counts(cur, col).withColumnRenamed("cnt", "cc")
     j = r.join(c, "token", "full_outer")
     both = F.col("cr").isNotNull() & F.col("cc").isNotNull()
-    # JS normalizes frequencies by each SIDE's total token count
-    # (semantic.py:404-407).  The totals are folded in as empty-key
-    # window sums over the joined frame — ONE action for the whole
-    # helper (the r2/r3 pre-collect is gone).  The single-partition
-    # window is bounded by |vocab|, same as the grouped path's
-    # constant-key window.
-    from pyspark.sql import Window
+    if totals == "broadcast":
+        t = j.agg(
+            F.greatest(F.coalesce(F.sum("cr"), F.lit(0)), F.lit(1)).alias("rt"),
+            F.greatest(F.coalesce(F.sum("cc"), F.lit(0)), F.lit(1)).alias("ct"),
+        )
+        j = j.crossJoin(F.broadcast(t))
+    elif totals == "window":
+        from pyspark.sql import Window
 
-    w = Window.partitionBy()
-    j = j.withColumn(
-        "rt", F.greatest(F.coalesce(F.sum("cr").over(w), F.lit(0)), F.lit(1))
-    ).withColumn(
-        "ct", F.greatest(F.coalesce(F.sum("cc").over(w), F.lit(0)), F.lit(1))
-    )
+        w = Window.partitionBy()
+        j = j.withColumn(
+            "rt", F.greatest(F.coalesce(F.sum("cr").over(w), F.lit(0)), F.lit(1))
+        ).withColumn(
+            "ct", F.greatest(F.coalesce(F.sum("cc").over(w), F.lit(0)), F.lit(1))
+        )
+    else:
+        raise ValueError(f"unknown totals mode: {totals}")
     p = F.col("cr").cast("double") / F.col("rt").cast("double")
     q = F.col("cc").cast("double") / F.col("ct").cast("double")
     m = (p + q) / 2

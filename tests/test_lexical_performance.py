@@ -335,3 +335,34 @@ def test_vocab_difference_frame_zero_build_actions(spark, monkeypatch):
     # one shared token ('the'); union 9 distinct -> jaccard = 1 - 1/9
     assert abs(row.jaccard - (1.0 - 1.0 / 9.0)) < 1e-9
     assert row.ref_vocab == 5 and row.cur_vocab == 5
+
+
+def test_vocab_difference_broadcast_totals_matches_window_shape(spark):
+    """VERDICT r4 nit #2: the corpus-scale totals shape (1-row aggregate
+    broadcast-crossJoined, no single-partition window) returns the
+    identical row as the reference-semantics window shape, is still one
+    lazy action to build, and its executed plan carries NO
+    single-partition exchange."""
+    from llm_drift_detector_spark.drift.lexical import vocab_difference_frame
+
+    ra = spark.createDataFrame(
+        [(f"alpha beta gamma tok{i % 7} shared words here",) for i in range(40)],
+        "transcript string",
+    )
+    rb = spark.createDataFrame(
+        [(f"delta epsilon tok{i % 5} shared words there",) for i in range(30)],
+        "transcript string",
+    )
+    win = vocab_difference_frame(ra, rb, "transcript").collect()[0]
+    bc_frame = vocab_difference_frame(ra, rb, "transcript", totals="broadcast")
+    bc = bc_frame.collect()[0]
+    for f in ("jaccard", "js", "vocab_diff"):
+        assert abs(win[f] - bc[f]) < 1e-12, f
+    assert (win.ref_vocab, win.cur_vocab) == (bc.ref_vocab, bc.cur_vocab)
+    # the window shape funnels the WHOLE vocab frame through one task
+    # (Window over SinglePartition); the broadcast shape must not carry
+    # any Window operator — only tiny partial-agg exchanges remain
+    plan = bc_frame._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    with __import__("pytest").raises(ValueError, match="unknown totals"):
+        vocab_difference_frame(ra, rb, "transcript", totals="bogus")

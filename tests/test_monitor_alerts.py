@@ -74,3 +74,32 @@ def test_critical_then_quiet_yields_one_alert(spark, monitor_env, capsys):
     s3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert [a["epoch"] for a in s3["alerts"]] == [3]
     assert spark.read.parquet(f"{monitor_env['out']}/alerts").count() == 2
+
+
+def test_grouped_alerts_key_on_group(spark, monitor_env, capsys):
+    """Grouped drift rows alert per GROUP: the throttle key carries the
+    group suffix, so two codecs drifting in the same epoch produce two
+    alert rows, not one throttled composite."""
+    import monitor_stream
+
+    out = monitor_env["out"] + "_grouped"
+    assert monitor_stream.main(
+        [
+            "--clips-dir", monitor_env["clips_dir"] + "/b*",
+            "--reference", f"{monitor_env['root']}/clips_reference",
+            "--transcripts", f"{monitor_env['root']}/transcripts",
+            "--out", out,
+            "--drift-column", "dur_ms",
+            "--group-keys", "codec",
+            "--max-files-per-trigger", "1",
+            "--alert-cooldown-minutes", "150",
+        ]
+    ) == 0
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    epoch0 = [a for a in s["alerts"] if a["epoch"] == 0]
+    cols = {a["column"] for a in epoch0}
+    # the +5000ms shift hits every codec group in epoch 0: one alert
+    # per group key, each column tagged dur_ms|<codec>
+    assert len(cols) >= 2 and all(c.startswith("dur_ms|") for c in cols)
+    # epoch 1 repeats the shift inside the cooldown window: throttled
+    assert not any(a["epoch"] == 1 for a in s["alerts"])
