@@ -33,6 +33,11 @@ Writes to --out:
   distribution AND embedding families per cadence,
   ``detectors/__init__.py:58-86`` — this closes the embedding half in
   continuous mode)
+- ``text_metrics/``       one text-drift row per epoch, when
+  --text-column is given (stream_text_drift vs a frozen text profile:
+  lexical C13/C14 + perplexity C11 + topic C12 with
+  --text-topic-column — the remaining semantic half of the
+  reference's detector registry, now also continuous)
 
 Prints one JSON summary line in AvailableNow mode.
 
@@ -107,6 +112,33 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--embedding-profile-path", default=None,
         help="persist/reuse the frozen embedding profile as JSON "
+        "(same load-or-compute contract as --profile-path)",
+    )
+    p.add_argument(
+        "--text-column", default=None,
+        help="stream the TEXT drift families too (lexical C13/C14 + "
+        "perplexity C11 per micro-batch vs a frozen text profile; "
+        "+ topic C12 when --text-topic-column is given); names the "
+        "string column in --text-dir",
+    )
+    p.add_argument(
+        "--text-dir", default=None,
+        help="parquet dir to watch for text rows (default: --clips-dir); "
+        "its read schema is taken from --text-reference",
+    )
+    p.add_argument(
+        "--text-reference", default=None,
+        help="path-or-table of the clean reference window carrying the "
+        "text column (default: --transcripts)",
+    )
+    p.add_argument(
+        "--text-topic-column", default=None,
+        help="array<float> column for C12 topic drift (argmax-dim "
+        "stand-in at the documented model seam)",
+    )
+    p.add_argument(
+        "--text-profile-path", default=None,
+        help="persist/reuse the frozen text profile as JSON "
         "(same load-or-compute contract as --profile-path)",
     )
     p.add_argument(
@@ -251,6 +283,50 @@ def main(argv: list[str] | None = None) -> int:
 
                 save_profile(emb_profile, args.embedding_profile_path)
 
+    # optional fourth family: frozen-profile text drift (lexical +
+    # perplexity + optional topics — the reference's semantic detectors)
+    text_profile = None
+    text_schema = None
+    if args.text_column:
+        from llm_drift_detector_spark.streaming import text_reference_profile
+
+        text_ref = (
+            _load(spark, args.text_reference)
+            if args.text_reference
+            else transcripts
+        )
+        text_schema = text_ref.schema
+        if args.text_profile_path and os.path.exists(args.text_profile_path):
+            from llm_drift_detector_spark.streaming import load_profile
+
+            text_profile = load_profile(args.text_profile_path)
+            text_mismatches = [
+                f"{name}: stored={stored!r} requested={req!r}"
+                for name, stored, req in (
+                    ("kind", text_profile.get("kind"), "text"),
+                    ("column", text_profile.get("column"), args.text_column),
+                    (
+                        "topic_column",
+                        text_profile.get("topic_column"),
+                        args.text_topic_column,
+                    ),
+                )
+                if stored != req
+            ]
+            if text_mismatches:
+                raise SystemExit(
+                    f"stored text profile at {args.text_profile_path} does "
+                    f"not match this run: {'; '.join(text_mismatches)}"
+                )
+        else:
+            text_profile = text_reference_profile(
+                text_ref, args.text_column, topic_column=args.text_topic_column
+            )
+            if args.text_profile_path:
+                from llm_drift_detector_spark.streaming import save_profile
+
+                save_profile(text_profile, args.text_profile_path)
+
     available_now = not args.continuous
     qv = stream_validate(
         spark,
@@ -288,6 +364,19 @@ def main(argv: list[str] | None = None) -> int:
             emb_profile,
             args.out,
             schema=emb_schema,
+            run_id=args.run_id,
+            available_now=available_now,
+            max_files_per_trigger=args.max_files_per_trigger,
+        )
+    if text_profile is not None:
+        from llm_drift_detector_spark.streaming import stream_text_drift
+
+        stream_text_drift(
+            spark,
+            args.text_dir or args.clips_dir,
+            text_profile,
+            args.out,
+            schema=text_schema,
             run_id=args.run_id,
             available_now=available_now,
             max_files_per_trigger=args.max_files_per_trigger,
@@ -354,6 +443,19 @@ def main(argv: list[str] | None = None) -> int:
             summary["embedding_drift_detected_epochs"] = [
                 int(r.epoch) for r in erows if r.drift_detected
             ]
+    trows = []
+    if text_profile is not None:
+        try:
+            trows = sorted(
+                spark.read.parquet(os.path.join(args.out, "text_metrics")).collect(),
+                key=lambda r: r.epoch,
+            )
+        except Exception:
+            trows = []
+        summary["text_epochs"] = len({int(r.epoch) for r in trows})
+        summary["text_drift_detected_epochs"] = [
+            int(r.epoch) for r in trows if r.drift_detected
+        ]
     # ---- C19 alert derivation over the drained epochs -----------------
     #
     # AlertManager (batch-side C19) runs over each epoch's metric rows
@@ -398,6 +500,25 @@ def main(argv: list[str] | None = None) -> int:
                     "column": args.embedding_column + group_suffix(r, emb_keys or []),
                     "drift_score": float(r.drift_score),
                     "threshold": 0.15,  # EMBEDDING_DETECTOR_THRESHOLD
+                }
+            )
+    for r in trows:
+        if r.gated:
+            continue
+        fams = [
+            ("lexical_stream", float(r.lexical_score), 0.10),  # LEXICAL_THRESHOLD
+            # ppl/topic scores are already score/threshold-normalized
+            ("perplexity_stream", float(r.ppl_score), 1.0),
+        ]
+        if r.topic_score is not None:
+            fams.append(("topic_stream", float(r.topic_score), 1.0))
+        for det, score, thr in fams:
+            epoch_metrics.setdefault(int(r.epoch), []).append(
+                {
+                    "detector_name": det,
+                    "column": args.text_column,
+                    "drift_score": score,
+                    "threshold": thr,
                 }
             )
     alert_rows = []

@@ -14,4 +14,8 @@ from .embedding_stream import (  # noqa: F401
     stream_embedding_drift_grouped,
 )
 from .stateful import running_drift_state, streaming_duplicate_clips  # noqa: F401
+from .text_stream import (  # noqa: F401
+    stream_text_drift,
+    text_reference_profile,
+)
 from .validate_stream import stream_validate, windowed_violation_counts  # noqa: F401
