@@ -21,8 +21,11 @@ Streams benched:
 2. ``stream_embedding_drift``  frozen-centroid embedding drift (one
                                aggregate per micro-batch, over the
                                transcripts backlog)
-3. ``stream_validate``         batch-local validation checks + sinks
-4. ``streaming_duplicate_clips`` (bloom) cross-batch payload dedup via
+3. ``stream_text_drift``       frozen-profile lexical/perplexity text
+                               drift (one fused action per micro-batch,
+                               over the transcripts backlog)
+4. ``stream_validate``         batch-local validation checks + sinks
+5. ``streaming_duplicate_clips`` (bloom) cross-batch payload dedup via
                                applyInPandasWithState
 
 Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 python tools/stream_bench.py
@@ -78,8 +81,10 @@ def main() -> None:
         reference_profile,
         stream_drift,
         stream_embedding_drift,
+        stream_text_drift,
         stream_validate,
         streaming_duplicate_clips,
+        text_reference_profile,
     )
     from llm_drift_detector_spark.streaming.validate_stream import CLIPS_DDL
     from llm_drift_detector_spark.synth import ensure_synth
@@ -124,7 +129,21 @@ def main() -> None:
         "rows_per_sec": int(st["rows"] / wall) if wall else 0,
     }
 
-    # ---- 3. validation stream ----------------------------------------
+    # ---- 3. text drift stream (transcripts backlog) ------------------
+    tprof = text_reference_profile(tr_ref, "transcript")
+    t0 = time.time()
+    q = stream_text_drift(
+        spark, tr_dir, tprof, f"{scratch}/tdrift", schema=transcripts.schema,
+        max_files_per_trigger=files_per_trigger,
+    )
+    wall = time.time() - t0
+    st = _trigger_stats(_progress_list(q))
+    results["stream_text_drift"] = {
+        **st, "wall_s": round(wall, 2),
+        "rows_per_sec": int(st["rows"] / wall) if wall else 0,
+    }
+
+    # ---- 4. validation stream ----------------------------------------
     t0 = time.time()
     q = stream_validate(
         spark, clips_dir, transcripts, ref, f"{scratch}/validate",
@@ -142,7 +161,7 @@ def main() -> None:
         "clips_per_sec_drain": int(n_clips / wall) if wall else 0,
     }
 
-    # ---- 4. bloom-state cross-batch dedup ----------------------------
+    # ---- 5. bloom-state cross-batch dedup ----------------------------
     stream = (
         spark.readStream.schema(CLIPS_DDL)
         .option("maxFilesPerTrigger", files_per_trigger)
