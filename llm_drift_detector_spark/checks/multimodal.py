@@ -2,11 +2,13 @@
 
 Media are opaque ``binary`` columns with typed metadata, validated and
 featurized through the same Arrow-batched path as audio.  The kernel
-registry carries TWO genuine container formats decoded stdlib-only —
-``"wav"`` (RIFF chunk walker, r4) and ``"bmp"`` (24-bit BMP struct
-walker, r5) — plus the deterministic ``"fake"`` byte-level stand-in;
-``decode_mode="real"`` raises NotImplementedError at the documented
-plug point (PIL / ffmpeg), which after r5 covers only video.
+registry carries THREE genuine container formats decoded stdlib-only —
+``"wav"`` (RIFF chunk walker, r4), ``"bmp"`` (24-bit BMP struct
+walker, r5) and ``"png"`` (chunk CRCs + DEFLATE + per-row filter
+reconstruction, r5) — plus the deterministic ``"fake"`` byte-level
+stand-in; ``decode_mode="real"`` raises NotImplementedError at the
+documented plug point (PIL / ffmpeg), which after r5 covers only
+video.
 
 Operators:
 - :func:`media_features` — decode + feature-extract through the kernel
@@ -87,10 +89,31 @@ def _bmp_decode_feature(payload: bytes) -> np.ndarray:
     return hist / hist.sum()
 
 
+def _png_decode_feature(payload: bytes) -> np.ndarray:
+    """A REAL *compressed* image decoder behind the same seam (r5):
+    parse the PNG container (chunk CRCs, DEFLATE inflate, per-row
+    filter reconstruction — ``codecs.png_parse``) and featurize the
+    decoded PIXELS (normalized luma histogram).  Third genuine format
+    in the registry; unlike BMP the pixel bytes never appear verbatim
+    in the payload, so this kernel cannot be faked by byte histograms.
+    Raises ValueError on malformed payloads (-> decode_status=
+    'decode_failed')."""
+    from .. import codecs
+
+    _w, _h, pixels = codecs.png_parse(payload)
+    if pixels.size == 0:
+        return np.zeros(FEATURE_BINS, dtype=np.float32)
+    luma = codecs.bmp_luma(pixels)
+    idx = np.minimum((luma * FEATURE_BINS).astype(np.int64), FEATURE_BINS - 1)
+    hist = np.bincount(idx.ravel(), minlength=FEATURE_BINS).astype(np.float32)
+    return hist / hist.sum()
+
+
 _DECODE_KERNELS = {
     "fake": _fake_decode_feature,
     "wav": _wav_decode_feature,
     "bmp": _bmp_decode_feature,
+    "png": _png_decode_feature,
 }
 
 
@@ -113,7 +136,7 @@ def media_features(
             "general-purpose IMAGE/VIDEO decode needs PIL/ffmpeg — not "
             "available in this environment; plug the real kernel into "
             "the _DECODE_KERNELS seam (same signature: bytes -> feature "
-            "vector).  decode_mode='wav' (audio) and decode_mode='bmp' "
+            "vector).  decode_mode='wav' (audio), 'bmp' and 'png' "
             "(image) demonstrate the seam with genuine container "
             "formats the repo CAN decode; only video lacks a real "
             "kernel."
@@ -185,7 +208,9 @@ def image_features(
     n_partitions: int | None = None,
     salt: int = 0,
 ) -> DataFrame:
-    """Typed image features from REAL BMP payloads (r5 image tier).
+    """Typed image features from REAL image payloads (r5 image tier) —
+    BMP or PNG, dispatched per row on the container's magic bytes
+    (``codecs.image_parse``), so a mixed tier needs no metadata trust.
 
     Per item: declared (width, height) from the header, rows actually
     decoded, Rec. 601 luma mean/std, and the Shannon entropy (bits) of
@@ -226,7 +251,7 @@ def image_features(
                         out[k].append(v)
                     continue
                 try:
-                    w, h, pixels = codecs.bmp_parse(media[i].as_py())
+                    w, h, pixels = codecs.image_parse(media[i].as_py())
                 except ValueError:
                     for k, v in zip(out, (0, 0, 0, None, None, None, "decode_failed")):
                         out[k].append(v)
