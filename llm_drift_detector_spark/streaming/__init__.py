@@ -12,6 +12,7 @@ from .embedding_stream import (  # noqa: F401
     embedding_reference_profile_grouped,
     stream_embedding_drift,
     stream_embedding_drift_grouped,
+    update_embedding_reference_profile,
 )
 from .stateful import running_drift_state, streaming_duplicate_clips  # noqa: F401
 from .text_stream import (  # noqa: F401

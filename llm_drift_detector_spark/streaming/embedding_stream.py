@@ -116,6 +116,96 @@ def embedding_reference_profile(
     }
 
 
+def update_embedding_reference_profile(
+    profile: dict, new_data: DataFrame
+) -> dict:
+    """Incrementally fold ``new_data`` into a frozen embedding profile
+    — the embedding analogue of
+    :func:`~.drift_stream.update_reference_profile`.
+
+    The reference recomputes its embedding baseline from scratch per
+    update (``data/processor.py:162-207`` feeding
+    ``detectors/embedding.py:60-77``); at 10^12 rows the refresh must
+    be INCREMENTAL.  Every component of the frozen profile is exactly
+    mergeable:
+
+    - ``n``:        n1 + n2;
+    - ``centroid``: (n1·c1 + Σ new rows) / (n1 + n2) — the old per-dim
+      sums are recovered exactly as n1·c1;
+    - ``ref_rms``:  rms = sqrt(E‖x‖² − ‖c‖²), and the old second
+      moment is recovered exactly as rms1² + ‖c1‖², so the merged
+      E‖x‖² is the count-weighted average and the merged rms is
+      re-derived against the MERGED centroid.
+
+    ``merged == from-scratch over the concatenated windows`` to fp
+    roundoff (pytest-asserted), and the update is associative across
+    chained folds.  ONE Spark job per update (count + per-dim sums +
+    summed squared norms in a single aggregate; d >
+    ``CENTROID_EXPLODE_DIM`` uses the documented second posexplode
+    job, same as the per-batch path).  The merged dict is a drop-in
+    :func:`stream_embedding_drift` profile — a running monitor
+    hot-swaps it by restarting with ``--embedding-profile-path``
+    pointing at the re-saved JSON.
+
+    New rows whose array length differs from the frozen ``dim`` are
+    REJECTED loudly — folding them in would silently corrupt the
+    centroid (the distribution profile's analogous guard is the frozen
+    bin geometry).
+    """
+    column = profile["column"]
+    dim = profile["dim"]
+    base = _valid(new_data, column).select(F.col(column).alias("e"))
+    # the dim guard rides the same aggregate — the update stays one job
+    aggs = [
+        F.count("*").alias("n"),
+        F.sum((F.size("e") != dim).cast("bigint")).alias("bad_n"),
+        F.sum(_sq_norm_col("e")).alias("ssq"),
+    ]
+    if dim <= CENTROID_EXPLODE_DIM:
+        # try_element_at (not element_at): short arrays must reach the
+        # bad_n guard below as a clean ValueError, not an ANSI
+        # out-of-bounds error mid-aggregate
+        aggs += [
+            F.sum(F.try_element_at(F.col("e"), F.lit(i + 1)).cast("double")).alias(
+                f"s_{i}"
+            )
+            for i in range(dim)
+        ]
+    st = base.agg(*aggs).collect()[0]
+    n2 = int(st.n)
+    if n2 and int(st.bad_n):
+        raise ValueError(
+            f"{int(st.bad_n)} new {column} rows have array length != frozen "
+            f"profile dim {dim} — refusing to merge mismatched embeddings"
+        )
+    if n2 == 0:  # nothing to fold in
+        return dict(profile)
+    if dim <= CENTROID_EXPLODE_DIM:
+        sums = np.array([st[f"s_{i}"] for i in range(dim)], dtype=np.float64)
+    else:
+        sums = np.zeros(dim)
+        for r in (
+            base.select(F.posexplode("e").alias("pos", "x"))
+            .groupBy("pos")
+            .agg(F.sum(F.col("x").cast("double")).alias("s"))
+            .collect()
+        ):
+            sums[int(r.pos)] = float(r.s)
+
+    n1 = profile["n"]
+    c1 = np.asarray(profile["centroid"], dtype=np.float64)
+    n = n1 + n2
+    c = (n1 * c1 + sums) / n
+    msq1 = profile["ref_rms"] ** 2 + float(np.dot(c1, c1))
+    msq = (n1 * msq1 + float(st.ssq)) / n
+    return {
+        **profile,
+        "n": int(n),
+        "centroid": [float(v) for v in c],
+        "ref_rms": math.sqrt(max(0.0, msq - float(np.dot(c, c)))),
+    }
+
+
 def _batch_metrics(
     profile: dict,
     n: int,

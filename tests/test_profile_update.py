@@ -1,14 +1,18 @@
 """Incremental reference-profile update: merged == from-scratch at the
 same frozen geometry; range-drift flags rebin; hot-swaps into the
-streaming monitor."""
+streaming monitor.  The embedding profile merges the same way
+(centroid/n/rms are exactly mergeable)."""
 
 import numpy as np
 import pyspark.sql.functions as F
 import pytest
 
 from llm_drift_detector_spark.streaming import (
+    embedding_reference_profile,
     reference_profile,
     stream_drift,
+    stream_embedding_drift,
+    update_embedding_reference_profile,
     update_reference_profile,
 )
 from llm_drift_detector_spark.streaming.drift_stream import (
@@ -102,6 +106,97 @@ def test_range_drift_flags_rebin(spark):
 
     empty = update_reference_profile(prof, _frame(spark, []))
     assert empty["n"] == prof["n"] and empty["js_counts"] == prof["js_counts"]
+
+
+def _evecs(rng, center, n, d=8, spread=0.3):
+    return center + rng.normal(0, spread, size=(n, d))
+
+
+def _eframe(spark, vecs):
+    return spark.createDataFrame(
+        [([float(x) for x in v],) for v in vecs], "embedding array<float>"
+    )
+
+
+def test_embedding_merged_equals_from_scratch(spark):
+    rng = np.random.default_rng(311)
+    c_a = np.linspace(0.5, 1.5, 8)
+    a = _evecs(rng, c_a, 900)
+    b = _evecs(rng, c_a + 0.4, 350)
+    prof = embedding_reference_profile(_eframe(spark, a), "embedding")
+    merged = update_embedding_reference_profile(prof, _eframe(spark, b))
+
+    scratch = embedding_reference_profile(
+        _eframe(spark, a).unionAll(_eframe(spark, b)), "embedding"
+    )
+    assert merged["n"] == scratch["n"] == 1250
+    # float32 storage dominates the tolerance, not the merge algebra
+    assert np.allclose(merged["centroid"], scratch["centroid"], atol=1e-6)
+    assert merged["ref_rms"] == pytest.approx(scratch["ref_rms"], rel=1e-6)
+    for k in ("kind", "column", "metric", "dim"):
+        assert merged[k] == prof[k]
+
+
+def test_embedding_update_associative_empty_and_dim_guard(spark):
+    rng = np.random.default_rng(313)
+    c = np.zeros(8)
+    a, b, d = (_evecs(rng, c + off, n) for off, n in [(0, 600), (0.2, 200), (-0.1, 300)])
+    prof = embedding_reference_profile(_eframe(spark, a), "embedding")
+    one_by_one = update_embedding_reference_profile(
+        update_embedding_reference_profile(prof, _eframe(spark, b)), _eframe(spark, d)
+    )
+    at_once = update_embedding_reference_profile(
+        prof, _eframe(spark, np.concatenate([b, d]))
+    )
+    assert one_by_one["n"] == at_once["n"] == 1100
+    assert np.allclose(one_by_one["centroid"], at_once["centroid"], atol=1e-9)
+    assert one_by_one["ref_rms"] == pytest.approx(at_once["ref_rms"], rel=1e-9)
+
+    empty = update_embedding_reference_profile(
+        prof, spark.createDataFrame([], "embedding array<float>")
+    )
+    assert empty == prof
+
+    with pytest.raises(ValueError, match="dim"):
+        update_embedding_reference_profile(
+            prof, _eframe(spark, _evecs(rng, np.zeros(5), 10, d=5))
+        )
+
+
+def test_embedding_merged_profile_hot_swaps_into_stream(spark, tmp_path):
+    """Traffic from the updated reference mixture is in-distribution
+    under the merged profile but flags under the stale one — same
+    contract as the distribution hot-swap."""
+    rng = np.random.default_rng(317)
+    src = str(tmp_path / "esrc")
+    # orthogonal (not antipodal) regimes: the mixture centroid stays
+    # well away from zero, so cosine distances are numerically stable
+    c_old = np.full(8, 1.0)
+    c_new = np.array([1.0, 1.0, 1.0, 1.0, -1.0, -1.0, -1.0, -1.0])
+    prof = embedding_reference_profile(
+        _eframe(spark, _evecs(rng, c_old, 800, spread=0.2)), "embedding"
+    )
+    merged = update_embedding_reference_profile(
+        prof, _eframe(spark, _evecs(rng, c_new, 800, spread=0.2))
+    )
+    # batch from the new 50:50 mixture
+    batch = np.concatenate(
+        [_evecs(rng, c_old, 150, spread=0.2), _evecs(rng, c_new, 150, spread=0.2)]
+    )
+    _eframe(spark, batch).coalesce(1).write.parquet(f"{src}/b0")
+    stream_embedding_drift(
+        spark, src + "/b*", prof, str(tmp_path / "estale"),
+        schema="embedding array<float>",
+    )
+    stream_embedding_drift(
+        spark, src + "/b*", merged, str(tmp_path / "efresh"),
+        schema="embedding array<float>",
+    )
+    stale = spark.read.parquet(f"{tmp_path}/estale/embedding_metrics").collect()[0]
+    fresh = spark.read.parquet(f"{tmp_path}/efresh/embedding_metrics").collect()[0]
+    assert stale.drift_detected and not fresh.drift_detected
+    assert stale.centroid_distance > fresh.centroid_distance
+    assert stale.drift_score > fresh.drift_score
 
 
 def test_merged_profile_hot_swaps_into_stream(spark, tmp_path):
