@@ -138,9 +138,14 @@ def main() -> None:
     )
     wall = time.time() - t0
     st = _trigger_stats(_progress_list(q))
+    n_tr = transcripts.count()
+    # numInputRows counts every scan of the micro-batch; the fused text
+    # plan reads it 4x (vocab join / perplexity / sentence / count
+    # subframes), so the honest drain rate is backlog transcripts / wall
     results["stream_text_drift"] = {
         **st, "wall_s": round(wall, 2),
         "rows_per_sec": int(st["rows"] / wall) if wall else 0,
+        "transcripts_per_sec_drain": int(n_tr / wall) if wall else 0,
     }
 
     # ---- 4. validation stream ----------------------------------------
