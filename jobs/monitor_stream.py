@@ -38,6 +38,12 @@ Writes to --out:
   lexical C13/C14 + perplexity C11 + topic C12 with
   --text-topic-column — the remaining semantic half of the
   reference's detector registry, now also continuous)
+- ``text_metrics_grouped/`` one row per (group, epoch) instead, when
+  --text-group-keys is also given (stream_text_drift_grouped vs
+  frozen PER-GROUP text profiles — the reference's per-provider
+  semantic loop; unknown-group rows collapse into a NULL-keyed
+  ``gated_reason='unknown_group'`` row, and alert cooldowns key on
+  the group-suffixed column so groups throttle independently)
 
 Prints one JSON summary line in AvailableNow mode.
 
@@ -140,6 +146,11 @@ def main(argv: list[str] | None = None) -> int:
         "--text-profile-path", default=None,
         help="persist/reuse the frozen text profile as JSON "
         "(same load-or-compute contract as --profile-path)",
+    )
+    p.add_argument(
+        "--text-group-keys", default=None,
+        help="comma-separated key columns for PER-GROUP text drift "
+        "(the reference's per-provider semantic loop)",
     )
     p.add_argument(
         "--alert-cooldown-minutes", type=float, default=60.0,
@@ -286,10 +297,17 @@ def main(argv: list[str] | None = None) -> int:
     # optional fourth family: frozen-profile text drift (lexical +
     # perplexity + optional topics — the reference's semantic detectors)
     text_profile = None
+    text_keys = None
     text_schema = None
     if args.text_column:
-        from llm_drift_detector_spark.streaming import text_reference_profile
+        from llm_drift_detector_spark.streaming import (
+            text_reference_profile,
+            text_reference_profile_grouped,
+        )
 
+        text_keys = (
+            args.text_group_keys.split(",") if args.text_group_keys else None
+        )
         text_ref = (
             _load(spark, args.text_reference)
             if args.text_reference
@@ -303,8 +321,13 @@ def main(argv: list[str] | None = None) -> int:
             text_mismatches = [
                 f"{name}: stored={stored!r} requested={req!r}"
                 for name, stored, req in (
-                    ("kind", text_profile.get("kind"), "text"),
+                    (
+                        "kind",
+                        text_profile.get("kind"),
+                        "text_grouped" if text_keys else "text",
+                    ),
                     ("column", text_profile.get("column"), args.text_column),
+                    ("keys", text_profile.get("keys"), text_keys),
                     (
                         "topic_column",
                         text_profile.get("topic_column"),
@@ -319,9 +342,16 @@ def main(argv: list[str] | None = None) -> int:
                     f"not match this run: {'; '.join(text_mismatches)}"
                 )
         else:
-            text_profile = text_reference_profile(
-                text_ref, args.text_column, topic_column=args.text_topic_column
-            )
+            if text_keys:
+                text_profile = text_reference_profile_grouped(
+                    text_ref, text_keys, args.text_column,
+                    topic_column=args.text_topic_column,
+                )
+            else:
+                text_profile = text_reference_profile(
+                    text_ref, args.text_column,
+                    topic_column=args.text_topic_column,
+                )
             if args.text_profile_path:
                 from llm_drift_detector_spark.streaming import save_profile
 
@@ -369,9 +399,12 @@ def main(argv: list[str] | None = None) -> int:
             max_files_per_trigger=args.max_files_per_trigger,
         )
     if text_profile is not None:
-        from llm_drift_detector_spark.streaming import stream_text_drift
+        from llm_drift_detector_spark.streaming import (
+            stream_text_drift,
+            stream_text_drift_grouped,
+        )
 
-        stream_text_drift(
+        (stream_text_drift_grouped if text_keys else stream_text_drift)(
             spark,
             args.text_dir or args.clips_dir,
             text_profile,
@@ -445,17 +478,25 @@ def main(argv: list[str] | None = None) -> int:
             ]
     trows = []
     if text_profile is not None:
+        text_sink = "text_metrics_grouped" if text_keys else "text_metrics"
         try:
             trows = sorted(
-                spark.read.parquet(os.path.join(args.out, "text_metrics")).collect(),
+                spark.read.parquet(os.path.join(args.out, text_sink)).collect(),
                 key=lambda r: r.epoch,
             )
         except Exception:
             trows = []
         summary["text_epochs"] = len({int(r.epoch) for r in trows})
-        summary["text_drift_detected_epochs"] = [
-            int(r.epoch) for r in trows if r.drift_detected
-        ]
+        if text_keys:
+            summary["text_drift_detected"] = [
+                {**{k: r[k] for k in text_keys}, "epoch": int(r.epoch)}
+                for r in trows
+                if r.drift_detected
+            ]
+        else:
+            summary["text_drift_detected_epochs"] = [
+                int(r.epoch) for r in trows if r.drift_detected
+            ]
     # ---- C19 alert derivation over the drained epochs -----------------
     #
     # AlertManager (batch-side C19) runs over each epoch's metric rows
@@ -516,7 +557,8 @@ def main(argv: list[str] | None = None) -> int:
             epoch_metrics.setdefault(int(r.epoch), []).append(
                 {
                     "detector_name": det,
-                    "column": args.text_column,
+                    "column": args.text_column
+                    + group_suffix(r, text_keys or []),
                     "drift_score": score,
                     "threshold": thr,
                 }

@@ -17,6 +17,8 @@ from .embedding_stream import (  # noqa: F401
 from .stateful import running_drift_state, streaming_duplicate_clips  # noqa: F401
 from .text_stream import (  # noqa: F401
     stream_text_drift,
+    stream_text_drift_grouped,
     text_reference_profile,
+    text_reference_profile_grouped,
 )
 from .validate_stream import stream_validate, windowed_violation_counts  # noqa: F401

@@ -363,3 +363,428 @@ def stream_text_drift(
     if available_now:
         q.awaitTermination()
     return q
+
+
+def _tokens_grouped(df: DataFrame, col: str, keys: list[str]) -> DataFrame:
+    """(keys..., _doc, token) — reference tokenization with the group
+    keys carried through the explode."""
+    return (
+        df.withColumn("_doc", F.monotonically_increasing_id())
+        .select(
+            *keys,
+            "_doc",
+            F.explode(F.split(F.lower(F.col(col)), r"\s+")).alias("token"),
+        )
+        .where(F.col("token") != "")
+    )
+
+
+def text_reference_profile_grouped(
+    ref: DataFrame, keys: list[str], column: str, topic_column: str | None = None
+) -> dict:
+    """Frozen PER-GROUP text profiles (the reference's per-provider
+    semantic loop, frozen at stream start).
+
+    A handful of grouped jobs once per stream: per-group vocab counts,
+    per-group style aggregates (sentence/token stats), per-group own-LM
+    mean perplexity, and optionally per-group topic distributions.
+    Driver state is O(Σ per-group |window vocab| + #groups x #topics) —
+    bounded by drift-WINDOW vocabulary under reference semantics, same
+    contract as the global profile.  Keys canonicalize to string
+    SPARK-side (the distribution/embedding profiles' rule).
+
+    Unlike the global builder there is no MIN_SAMPLES refusal: gating
+    is per (group, batch) at stream time, and a small group's baseline
+    should not block freezing every other group's.
+    """
+    base = ref.where(F.col(column).isNotNull()).select(
+        *[F.col(k).cast("string").alias(k) for k in keys],
+        column,
+        *([topic_column] if topic_column else []),
+    )
+    if base.limit(1).count() == 0:
+        raise ValueError(f"reference window has no non-null {column} docs")
+    n_rows = base.groupBy(*keys).agg(F.count("*").alias("n")).collect()
+
+    toks = _tokens_grouped(base, column, keys)
+    vocab_rows = (
+        toks.groupBy(*keys, "token").agg(F.count("*").alias("cnt")).collect()
+    )
+    vocab: dict[tuple, dict[str, int]] = {}
+    for r in vocab_rows:
+        vocab.setdefault(tuple(r[k] for k in keys), {})[r.token] = int(r.cnt)
+
+    tok_stats = {
+        tuple(r[k] for k in keys): r
+        for r in toks.groupBy(*keys)
+        .agg(
+            F.avg(F.length("token")).alias("awl"),
+            F.count("*").alias("tc"),
+            F.countDistinct("token").alias("utc"),
+        )
+        .collect()
+    }
+    sent_stats = {
+        tuple(r[k] for k in keys): float(r.asl)
+        for r in base.select(
+            *keys, F.explode(F.split(F.col(column), r"\.")).alias("s")
+        )
+        .where(F.trim("s") != "")
+        .groupBy(*keys)
+        .agg(
+            F.avg(
+                F.size(F.filter(F.split(F.col("s"), r"\s+"), lambda x: x != ""))
+            ).alias("asl")
+        )
+        .collect()
+    }
+
+    # per-group own-LM mean perplexity: score the reference docs under
+    # their OWN group's frozen Laplace LM (C11's baseline, per group)
+    groups = sorted(vocab)
+    frozen = _frozen_vocab_frame(base.sparkSession, keys, vocab)
+    denoms = {
+        g: float(sum(v.values()) + max(len(v), 1)) for g, v in vocab.items()
+    }
+    dframe = base.sparkSession.createDataFrame(
+        [(*g, denoms[g]) for g in groups],
+        ", ".join(f"{k} string" for k in keys) + ", __denom double",
+    )
+    ppl_rows = (
+        toks.join(F.broadcast(frozen), [*keys, "token"], "left")
+        .join(F.broadcast(dframe), keys)
+        .select(
+            *keys,
+            "_doc",
+            F.log((F.coalesce(F.col("cr"), F.lit(0)) + 1.0) / F.col("__denom")).alias(
+                "logp"
+            ),
+        )
+        .groupBy(*keys, "_doc")
+        .agg(F.exp(-F.avg("logp")).alias("ppl"))
+        .groupBy(*keys)
+        .agg(F.avg("ppl").alias("mean_ppl"))
+        .collect()
+    )
+    mean_ppls = {tuple(r[k] for k in keys): float(r.mean_ppl) for r in ppl_rows}
+
+    profiles: dict[tuple, dict] = {}
+    for r in n_rows:
+        g = tuple(r[k] for k in keys)
+        v = vocab.get(g, {})
+        ts = tok_stats.get(g)
+        tc = int(ts.tc) if ts is not None else 0
+        profiles[g] = {
+            "n": int(r.n),
+            "vocab": v,
+            "total_tokens": int(sum(v.values())),
+            "style": {
+                "avg_sentence_len": sent_stats.get(g, 0.0),
+                "avg_word_len": float(ts.awl) if ts is not None else 0.0,
+                "token_count": tc,
+                "unique_token_count": int(ts.utc) if ts is not None else 0,
+                "diversity": (int(ts.utc) / max(tc, 1)) if ts is not None else 0.0,
+            },
+            "ref_mean_perplexity": mean_ppls.get(g, 0.0),
+        }
+    if topic_column is not None:
+        tcounts = (
+            assign_topics(
+                base.where(
+                    F.col(topic_column).isNotNull()
+                    & (F.size(F.col(topic_column)) > 0)
+                ),
+                topic_column,
+            )
+            .groupBy(*keys, "topic")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        )
+        per_group: dict[tuple, dict[int, int]] = {}
+        for r in tcounts:
+            per_group.setdefault(tuple(r[k] for k in keys), {})[int(r.topic)] = int(
+                r.cnt
+            )
+        for g, p in profiles.items():
+            counts = per_group.get(g, {})
+            tot = float(sum(counts.values())) or 1.0
+            p["topics"] = {str(t): c / tot for t, c in counts.items()}
+    out = {
+        "kind": "text_grouped",
+        "column": column,
+        "keys": list(keys),
+        "profiles": profiles,
+    }
+    if topic_column is not None:
+        out["topic_column"] = topic_column
+    return out
+
+
+def _frozen_vocab_frame(spark, keys: list[str], vocab: dict) -> DataFrame:
+    """Tiny (Σ per-group vocab) frame: (keys..., token, cr)."""
+    rows = [
+        (*g, t, c) for g, toks in vocab.items() for t, c in toks.items()
+    ] or [(*([None] * len(keys)), "", 0)]
+    ddl = ", ".join(f"{k} string" for k in keys) + ", token string, cr bigint"
+    return spark.createDataFrame(rows, ddl).where(F.col("token") != "")
+
+
+def stream_text_drift_grouped(
+    spark: SparkSession,
+    text_dir: str,
+    profile: dict,
+    out_dir: str,
+    schema,
+    run_id: str = "drift-stream",
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+    min_samples: int = MIN_SAMPLES,
+    lexical_threshold: float = LEXICAL_THRESHOLD,
+    ppl_threshold: float = PERPLEXITY_THRESHOLD,
+    topic_threshold: float = TOPIC_THRESHOLD,
+):
+    """Per-GROUP per-micro-batch text drift vs frozen per-group text
+    profiles — every group's lexical/perplexity inputs ride ONE
+    aggregate tree per batch (the frozen vocab frame broadcast full-
+    outer-joins the batch token counts by (group, token); per-doc
+    perplexity under each group's OWN frozen LM; per-group sentence
+    stats and doc counts; all grouped subframes joined on the keys and
+    collected in a single action — never a job per group), then
+    O(#groups) driver arithmetic reproduces the batch detectors'
+    score/verdict sequence per group.
+
+    Row conventions match :func:`~.drift_stream.stream_drift_grouped`:
+    one row per (group, epoch) at ``<out>/text_metrics_grouped``;
+    batch rows whose group has no frozen profile (or whose keys are
+    NULL) collapse into a NULL-keyed ``gated_reason='unknown_group'``
+    row; gated known groups carry ``'min_samples'``; an empty batch
+    writes a NULL-keyed ``'empty_batch'`` placeholder; each epoch's
+    partition is OVERWRITTEN so foreachBatch replays are idempotent.
+    """
+    column = profile["column"]
+    keys = profile["keys"]
+    profiles = profile["profiles"]
+    topic_col = profile.get("topic_column")
+    sink = os.path.join(out_dir, "text_metrics_grouped")
+    checkpoint = os.path.join(out_dir, "_text_stream_grouped_checkpoint")
+    out_schema = ", ".join(f"{k} string" for k in keys) + (
+        ", " + _SINK_ROW_SCHEMA + ", gated_reason string"
+    )
+
+    frozen = _frozen_vocab_frame(
+        spark, keys, {g: p["vocab"] for g, p in profiles.items()}
+    )
+    known = spark.createDataFrame(
+        [
+            (
+                *g,
+                float(max(p["total_tokens"], 1)),
+                float(p["total_tokens"] + max(len(p["vocab"]), 1)),
+            )
+            for g, p in profiles.items()
+        ],
+        ", ".join(f"{k} string" for k in keys) + ", __rt double, __denom double",
+    )
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        base = batch_df.where(F.col(column).isNotNull()).select(
+            *[F.col(k).cast("string").alias(k) for k in keys],
+            column,
+            *([topic_col] if topic_col else []),
+        )
+        # rows whose group has no frozen profile get NULL keys so they
+        # collapse into ONE unknown bucket (NULL join keys match
+        # nothing downstream, exactly like the distribution variant)
+        marked = base.join(F.broadcast(known), keys, "left")
+        basek = marked.select(
+            *[
+                F.when(F.col("__rt").isNotNull(), F.col(k)).alias(k)
+                for k in keys
+            ],
+            column,
+            *([topic_col] if topic_col else []),
+            "__rt",
+            "__denom",
+        )
+        kb = basek.where(F.col("__rt").isNotNull())  # known-group rows
+
+        n_frame = basek.groupBy(*keys).agg(F.count("*").alias("n"))
+
+        toks = _tokens_grouped(kb, column, keys)
+        cur_tc = toks.groupBy(*keys, "token").agg(F.count("*").alias("cc"))
+        ct_tot = cur_tc.groupBy(*keys).agg(
+            F.greatest(F.sum("cc"), F.lit(1)).cast("double").alias("__ct")
+        )
+        j = (
+            F.broadcast(frozen)
+            .join(cur_tc, [*keys, "token"], "full_outer")
+            .join(F.broadcast(ct_tot), keys, "left")
+            .join(F.broadcast(known), keys)
+        )
+        both = F.col("cr").isNotNull() & F.col("cc").isNotNull()
+        p = F.col("cr").cast("double") / F.col("__rt")
+        q = F.col("cc").cast("double") / F.coalesce(F.col("__ct"), F.lit(1.0))
+        m = (p + q) / 2
+        vocab_frame = j.groupBy(*keys).agg(
+            F.count("*").alias("union_n"),
+            F.sum(both.cast("bigint")).alias("inter_n"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        both,
+                        0.5 * p * F.log(p / m + 1e-10)
+                        + 0.5 * q * F.log(q / m + 1e-10),
+                    )
+                ),
+                F.lit(0.0),
+            ).alias("js"),
+            F.sum(F.col("cc").isNotNull().cast("bigint")).alias("cur_vocab"),
+            F.coalesce(F.sum("cc"), F.lit(0)).alias("tc_c"),
+            F.coalesce(F.sum(F.length("token") * F.col("cc")), F.lit(0)).alias(
+                "awl_num"
+            ),
+        )
+
+        ppl_frame = (
+            toks.join(F.broadcast(frozen), [*keys, "token"], "left")
+            .join(F.broadcast(known), keys)
+            .select(
+                *keys,
+                "_doc",
+                F.log(
+                    (F.coalesce(F.col("cr"), F.lit(0)) + 1.0) / F.col("__denom")
+                ).alias("logp"),
+            )
+            .groupBy(*keys, "_doc")
+            .agg(F.exp(-F.avg("logp")).alias("ppl"))
+            .groupBy(*keys)
+            .agg(F.avg("ppl").alias("mean_ppl"))
+        )
+
+        sent_frame = (
+            kb.select(*keys, F.explode(F.split(F.col(column), r"\.")).alias("s"))
+            .where(F.trim("s") != "")
+            .groupBy(*keys)
+            .agg(
+                F.avg(
+                    F.size(F.filter(F.split(F.col("s"), r"\s+"), lambda x: x != ""))
+                ).alias("asl_c")
+            )
+        )
+
+        rows = (
+            n_frame.join(vocab_frame, keys, "left")
+            .join(ppl_frame, keys, "left")
+            .join(sent_frame, keys, "left")
+            .collect()
+        )
+
+        topic_counts: dict[tuple, dict[int, int]] = {}
+        if topic_col is not None:
+            for r in (
+                assign_topics(
+                    kb.where(
+                        F.col(topic_col).isNotNull()
+                        & (F.size(F.col(topic_col)) > 0)
+                    ),
+                    topic_col,
+                )
+                .groupBy(*keys, "topic")
+                .agg(F.count("*").alias("cnt"))
+                .collect()
+            ):
+                topic_counts.setdefault(tuple(r[k] for k in keys), {})[
+                    int(r.topic)
+                ] = int(r.cnt)
+
+        out_rows = []
+        n_unknown = 0
+        for r in sorted(rows, key=lambda r: tuple(str(r[k]) for k in keys)):
+            g = tuple(r[k] for k in keys)
+            if g not in profiles:  # NULL-key collapse bucket
+                n_unknown += int(r.n)
+                continue
+            n = int(r.n)
+            gated = n < min_samples
+            if gated:
+                met = dict(_ZERO)
+            else:
+                met = _text_metrics(
+                    _GroupRow(r), profiles[g], lexical_threshold, ppl_threshold
+                )
+            topic_js = topic_score = topic_drift = None
+            if topic_col is not None and not gated:
+                tj = _topic_js(profiles[g]["topics"], topic_counts.get(g, {}))
+                topic_js = float(tj)
+                topic_score = float(min(tj / topic_threshold, 1.0))
+                topic_drift = bool(tj > topic_threshold)
+            detected = bool(
+                met["lexical_drift"] or met["ppl_drift"] or (topic_drift or False)
+            )
+            out_rows.append(
+                (
+                    *g,
+                    run_id, n,
+                    met["jaccard"], met["js"], met["vocab_diff"],
+                    met["style_diff"], met["lexical_score"],
+                    met["lexical_drift"], met["mean_perplexity"],
+                    met["ppl_rel_change"], met["ppl_score"], met["ppl_drift"],
+                    topic_js, topic_score, topic_drift,
+                    detected, bool(gated),
+                    "min_samples" if gated else None,
+                )
+            )
+        if n_unknown:
+            out_rows.append(
+                (
+                    *([None] * len(keys)),
+                    run_id, int(n_unknown),
+                    0.0, 0.0, 0.0, 0.0, 0.0, False, 0.0, 0.0, 0.0, False,
+                    None, None, None, False, True, "unknown_group",
+                )
+            )
+        if not out_rows:
+            out_rows.append(
+                (
+                    *([None] * len(keys)),
+                    run_id, 0,
+                    0.0, 0.0, 0.0, 0.0, 0.0, False, 0.0, 0.0, 0.0, False,
+                    None, None, None, False, True, "empty_batch",
+                )
+            )
+        spark.createDataFrame(out_rows, out_schema).write.mode(
+            "overwrite"
+        ).parquet(f"{sink}/epoch={int(epoch_id)}")
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(text_dir)
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    if available_now:
+        q.awaitTermination()
+    return q
+
+
+class _GroupRow:
+    """Null-tolerant view over a grouped result Row: a known group with
+    no batch tokens (all-whitespace docs) yields NULL aggregates from
+    the left joins; default them the way the global path's coalesces
+    do."""
+
+    _DEFAULTS = {
+        "union_n": 1, "inter_n": 0, "js": 0.0, "cur_vocab": 0,
+        "tc_c": 0, "awl_num": 0, "mean_ppl": 0.0, "asl_c": 0.0,
+    }
+
+    def __init__(self, row):
+        self._row = row
+
+    def __getattr__(self, name):
+        v = self._row[name]
+        return self._DEFAULTS.get(name, 0) if v is None else v

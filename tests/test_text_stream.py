@@ -170,6 +170,156 @@ def test_stream_text_checkpoint_resume_and_gating(spark, tmp_path):
     assert len(final) == 2 and sum(r.n for r in final) == 44
 
 
+def _gdocs(groups_vocab, n_per_group, words_per_doc=12):
+    """(group, transcript) rows: each group cycles its own vocabulary."""
+    rows = []
+    for g, vocab in groups_vocab.items():
+        rows.extend(
+            (g, doc)
+            for (doc,) in _docs(vocab, n_per_group, words_per_doc)
+        )
+    return rows
+
+
+def test_grouped_text_stream_flags_only_shifted_group(spark, tmp_path):
+    from llm_drift_detector_spark.streaming import (
+        stream_text_drift_grouped,
+        text_reference_profile_grouped,
+    )
+
+    src, out = str(tmp_path / "src"), str(tmp_path / "out")
+    ddl = "provider string, transcript string"
+    ref = spark.createDataFrame(
+        _gdocs({"a": A_VOCAB, "b": B_VOCAB}, 80), ddl
+    )
+    prof = text_reference_profile_grouped(ref, ["provider"], "transcript")
+    assert prof["kind"] == "text_grouped"
+    assert set(prof["profiles"]) == {("a",), ("b",)}
+    assert prof["profiles"][("a",)]["n"] == 80
+
+    # batch: group a stays on its vocab, group b SHIFTS to a's vocab,
+    # plus rows from an unknown provider and a gated tiny group
+    batch = (
+        _gdocs({"a": A_VOCAB}, 60)
+        + _gdocs({"b": A_VOCAB}, 60)
+        + _gdocs({"zzz": B_VOCAB}, 7)
+    )
+    spark.createDataFrame(batch, ddl).coalesce(1).write.parquet(f"{src}/b0")
+    stream_text_drift_grouped(spark, src + "/b*", prof, out, schema=ddl)
+    rows = spark.read.parquet(f"{out}/text_metrics_grouped").collect()
+    by_key = {r.provider: r for r in rows}
+    assert set(by_key) == {"a", "b", None}
+
+    a, b, unk = by_key["a"], by_key["b"], by_key[None]
+    assert not a.drift_detected and a.vocab_diff < 0.05 and a.n == 60
+    assert b.drift_detected and b.lexical_drift and b.ppl_drift
+    assert b.jaccard == 1.0 and b.vocab_diff == 1.0  # disjoint rule
+    assert unk.gated_reason == "unknown_group" and unk.n == 7 and unk.gated
+    assert a.gated_reason is None and not a.gated
+
+
+def test_grouped_text_stream_matches_global_per_group(spark, tmp_path):
+    """Each group's streamed row equals the GLOBAL text stream run on
+    that group's slice alone (and hence the batch detectors, which the
+    global test already pins) — including the topic family."""
+    import pyspark.sql.functions as F
+
+    from llm_drift_detector_spark.streaming import (
+        stream_text_drift,
+        stream_text_drift_grouped,
+        text_reference_profile,
+        text_reference_profile_grouped,
+    )
+
+    def erows(g, vocab, hot_dims, n):
+        out = []
+        for i in range(n):
+            v = [0.1] * 8
+            v[hot_dims[i % len(hot_dims)]] = 1.0
+            doc = " ".join(vocab[(i * 5 + j) % len(vocab)] for j in range(10))
+            out.append((g, doc + ". tail words.", v))
+        return out
+
+    ddl = "provider string, transcript string, embedding array<float>"
+    src, out = str(tmp_path / "src"), str(tmp_path / "out")
+    ref_rows = erows("a", A_VOCAB, [0, 1], 70) + erows("b", B_VOCAB, [2, 3], 90)
+    cur_rows = erows("a", A_VOCAB, [0, 1], 40) + erows(
+        "b", A_VOCAB[:4] + B_VOCAB[:4], [6, 7], 50
+    )
+    ref = spark.createDataFrame(ref_rows, ddl)
+    cur = spark.createDataFrame(cur_rows, ddl)
+
+    gprof = text_reference_profile_grouped(
+        ref, ["provider"], "transcript", topic_column="embedding"
+    )
+    spark.createDataFrame(cur_rows, ddl).coalesce(1).write.parquet(f"{src}/b0")
+    stream_text_drift_grouped(spark, src + "/b*", gprof, out, schema=ddl)
+    grouped = {
+        r.provider: r
+        for r in spark.read.parquet(f"{out}/text_metrics_grouped").collect()
+    }
+
+    for g in ("a", "b"):
+        sprof = text_reference_profile(
+            ref.where(F.col("provider") == g), "transcript",
+            topic_column="embedding",
+        )
+        gsrc, gout = str(tmp_path / f"s_{g}"), str(tmp_path / f"o_{g}")
+        cur.where(F.col("provider") == g).drop("provider").coalesce(
+            1
+        ).write.parquet(f"{gsrc}/b0")
+        stream_text_drift(
+            spark, gsrc + "/b*", sprof, gout,
+            schema="transcript string, embedding array<float>",
+        )
+        solo = spark.read.parquet(f"{gout}/text_metrics").collect()[0]
+        got = grouped[g]
+        assert got.n == solo.n
+        for f in (
+            "jaccard", "js", "vocab_diff", "style_diff", "lexical_score",
+            "mean_perplexity", "ppl_rel_change", "ppl_score", "topic_js",
+            "topic_score",
+        ):
+            assert abs(got[f] - solo[f]) < 1e-9, (g, f, got[f], solo[f])
+        for f in ("lexical_drift", "ppl_drift", "topic_drift", "drift_detected"):
+            assert got[f] == solo[f]
+    assert grouped["b"].drift_detected and not grouped["a"].drift_detected
+
+
+def test_grouped_text_stream_empty_batch_and_min_samples(spark, tmp_path):
+    from llm_drift_detector_spark.streaming import (
+        stream_text_drift_grouped,
+        text_reference_profile_grouped,
+    )
+
+    ddl = "provider string, transcript string"
+    src, out = str(tmp_path / "src"), str(tmp_path / "out")
+    ref = spark.createDataFrame(_gdocs({"a": A_VOCAB}, 60), ddl)
+    prof = text_reference_profile_grouped(ref, ["provider"], "transcript")
+
+    # all-null batch -> empty_batch placeholder row claims the epoch
+    spark.createDataFrame([("a", None)], ddl).coalesce(1).write.parquet(
+        f"{src}/b0"
+    )
+    stream_text_drift_grouped(spark, src + "/b*", prof, out, schema=ddl)
+    rows = spark.read.parquet(f"{out}/text_metrics_grouped").collect()
+    assert len(rows) == 1 and rows[0].gated_reason == "empty_batch"
+
+    # tiny known-group batch -> min_samples gate
+    spark.createDataFrame(_gdocs({"a": B_VOCAB}, 3), ddl).coalesce(
+        1
+    ).write.parquet(f"{src}/b1")
+    stream_text_drift_grouped(spark, src + "/b*", prof, out, schema=ddl)
+    rows = {
+        int(r.epoch): r
+        for r in spark.read.parquet(f"{out}/text_metrics_grouped").collect()
+    }
+    assert len(rows) == 2
+    gated = rows[max(rows)]
+    assert gated.provider == "a" and gated.gated_reason == "min_samples"
+    assert gated.n == 3 and not gated.drift_detected
+
+
 def test_text_profile_refuses_gated_baseline(spark):
     from llm_drift_detector_spark.streaming import text_reference_profile
 
@@ -214,3 +364,52 @@ def test_monitor_cli_text_family(spark, tmp_path, capsys):
     bad[bad.index(str(tmp_path / "m1"))] = str(tmp_path / "m2")
     with pytest.raises(SystemExit, match="does not match"):
         monitor_stream.main(bad)
+
+
+def test_monitor_cli_text_grouped(spark, tmp_path, capsys):
+    """--text-group-keys routes the text family through the GROUPED
+    stream: the summary reports per-group detections and the alert
+    rows carry the group-suffixed column key."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    import monitor_stream
+
+    from llm_drift_detector_spark.synth import ensure_synth
+
+    root = ensure_synth(spark, "/root/testdata/sf0.001")
+    ddl = "provider string, transcript string"
+    tref = spark.createDataFrame(
+        _gdocs({"a": A_VOCAB, "b": B_VOCAB}, 40), ddl
+    )
+    # group b shifts to a's vocabulary in the streamed batch
+    tcur = spark.createDataFrame(
+        _gdocs({"a": A_VOCAB, "b": A_VOCAB}, 30), ddl
+    )
+    trefdir, tdir = str(tmp_path / "tref"), str(tmp_path / "tcur")
+    tref.coalesce(1).write.parquet(trefdir)
+    tcur.coalesce(1).write.parquet(f"{tdir}/b0")
+
+    out = str(tmp_path / "m")
+    assert monitor_stream.main([
+        "--clips-dir", f"{root}/clips",
+        "--reference", f"{root}/clips_reference",
+        "--transcripts", f"{root}/transcripts",
+        "--out", out,
+        "--drift-column", "dur_ms",
+        "--text-column", "transcript",
+        "--text-dir", tdir + "/b*",
+        "--text-reference", trefdir,
+        "--text-group-keys", "provider",
+    ]) == 0
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s["text_epochs"] == 1
+    assert s["text_drift_detected"] == [{"provider": "b", "epoch": 0}]
+    # alert columns are group-suffixed so per-group cooldowns are
+    # independent; only group b's text detectors may alert
+    text_alert_cols = {
+        a["column"] for a in s["alerts"] if a["detector"].endswith("_stream")
+        and a["column"].startswith("transcript")
+    }
+    assert text_alert_cols and text_alert_cols <= {"transcript|b"}
