@@ -27,6 +27,10 @@ Writes to --out:
 
 - ``violations_stream/``  violation rows per micro-batch (stream_validate)
 - ``drift_metrics/``      one drift row per epoch (stream_drift)
+- ``drift_metrics_multi/`` one row per (column, epoch) instead, when
+  --drift-columns names several feature columns (stream_drift_multi:
+  ONE fused aggregate per micro-batch covers every column; per-column
+  rows are numerically identical to the single-column stream)
 - ``embedding_metrics/``  one embedding-drift row per epoch, when
   --embedding-column is given (stream_embedding_drift vs a frozen
   centroid profile; the reference's detector registry runs the
@@ -78,6 +82,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--out", required=True)
     p.add_argument("--run-id", default="monitor")
     p.add_argument("--drift-column", default="dur_ms")
+    p.add_argument(
+        "--drift-columns", default=None,
+        help="comma-separated feature columns: monitor ALL of them via "
+        "ONE fused aggregate per micro-batch (stream_drift_multi) "
+        "instead of the single --drift-column stream; not combinable "
+        "with --group-keys",
+    )
     p.add_argument(
         "--group-keys", default=None,
         help="comma-separated key columns for PER-GROUP drift (frozen "
@@ -187,6 +198,12 @@ def main(argv: list[str] | None = None) -> int:
     # the frozen profile: ONE batch job over the reference window,
     # closed over every micro-batch after that
     group_keys = args.group_keys.split(",") if args.group_keys else None
+    drift_cols = args.drift_columns.split(",") if args.drift_columns else None
+    if drift_cols and group_keys:
+        raise SystemExit(
+            "--drift-columns and --group-keys are not combinable — run "
+            "the grouped stream per column, or the multi stream globally"
+        )
     if args.profile_path and os.path.exists(args.profile_path):
         from llm_drift_detector_spark.streaming import load_profile
 
@@ -206,7 +223,16 @@ def main(argv: list[str] | None = None) -> int:
         mismatches = [
             f"{name}: stored={stored!r} requested={req!r}"
             for name, stored, req in (
-                ("drift column", profile.get("column"), args.drift_column),
+                (
+                    ("drift columns", profile.get("columns"), drift_cols)
+                    if drift_cols
+                    else ("drift column", profile.get("column"), args.drift_column)
+                ),
+                (
+                    "kind",
+                    profile.get("kind"),
+                    "distribution_multi" if drift_cols else profile.get("kind"),
+                ),
                 ("nbins", profile.get("nbins"), args.nbins),
                 ("psi_nbins", profile.get("psi_nbins"), args.psi_nbins),
             )
@@ -219,7 +245,14 @@ def main(argv: list[str] | None = None) -> int:
                 "re-freeze, or rerun with the stored settings"
             )
     else:
-        if group_keys:
+        if drift_cols:
+            from llm_drift_detector_spark.streaming import reference_profile_multi
+
+            profile = reference_profile_multi(
+                reference, drift_cols,
+                nbins=args.nbins, psi_nbins=args.psi_nbins,
+            )
+        elif group_keys:
             profile = reference_profile_grouped(
                 reference, group_keys, args.drift_column,
                 nbins=args.nbins, psi_nbins=args.psi_nbins,
@@ -368,7 +401,12 @@ def main(argv: list[str] | None = None) -> int:
         available_now=available_now,
         max_files_per_trigger=args.max_files_per_trigger,
     )
-    drift_fn = stream_drift_grouped if group_keys else stream_drift
+    if drift_cols:
+        from llm_drift_detector_spark.streaming import stream_drift_multi
+
+        drift_fn = stream_drift_multi
+    else:
+        drift_fn = stream_drift_grouped if group_keys else stream_drift
     qd = drift_fn(
         spark,
         args.clips_dir,
@@ -421,15 +459,20 @@ def main(argv: list[str] | None = None) -> int:
     summary = {
         "run_id": args.run_id,
         "reference_rows": (
-            sum(p["n"] for p in profile["profiles"].values())
+            max(p["n"] for p in profile["column_profiles"].values())
+            if drift_cols
+            else sum(p["n"] for p in profile["profiles"].values())
             if group_keys
             else profile["n"]
         ),
-        "drift_column": args.drift_column,
+        "drift_column": drift_cols if drift_cols else args.drift_column,
     }
     vio_path = os.path.join(args.out, "violations_stream")
     met_path = os.path.join(
-        args.out, "drift_metrics_grouped" if group_keys else "drift_metrics"
+        args.out,
+        "drift_metrics_multi"
+        if drift_cols
+        else "drift_metrics_grouped" if group_keys else "drift_metrics",
     )
     # both sinks may legitimately not exist after a zero-batch drain
     # (no new files since the last run) — report zeros, not a traceback
@@ -444,7 +487,13 @@ def main(argv: list[str] | None = None) -> int:
     except Exception:
         rows = []
     summary["epochs"] = len({int(r.epoch) for r in rows})
-    if group_keys:
+    if drift_cols:
+        summary["drift_detected"] = [
+            {"column": r.column, "epoch": int(r.epoch)}
+            for r in rows
+            if r.drift_detected
+        ]
+    elif group_keys:
         summary["drift_detected"] = [
             {**{k: r[k] for k in group_keys}, "epoch": int(r.epoch)}
             for r in rows
@@ -526,7 +575,11 @@ def main(argv: list[str] | None = None) -> int:
         epoch_metrics.setdefault(int(r.epoch), []).append(
             {
                 "detector_name": "distribution_stream",
-                "column": args.drift_column + group_suffix(r, group_keys or []),
+                "column": (
+                    r.column
+                    if drift_cols
+                    else args.drift_column + group_suffix(r, group_keys or [])
+                ),
                 "drift_score": float(r.drift_score),
                 "threshold": 1.0,  # drift_score is already score/threshold-normalized
             }

@@ -2,9 +2,11 @@ from .drift_stream import (  # noqa: F401
     load_profile,
     reference_profile,
     reference_profile_grouped,
+    reference_profile_multi,
     save_profile,
     stream_drift,
     stream_drift_grouped,
+    stream_drift_multi,
     update_reference_profile,
 )
 from .embedding_stream import (  # noqa: F401

@@ -371,6 +371,230 @@ def stream_drift(
     return q
 
 
+MULTI_SINK_ROW_SCHEMA = "column string, " + _SINK_ROW_SCHEMA
+
+
+def reference_profile_multi(
+    ref: DataFrame,
+    columns: list[str],
+    nbins: int = 40,
+    psi_nbins: int = 10,
+) -> dict:
+    """Frozen reference profiles for MANY feature columns at once.
+
+    A production monitor watches every feature of the clip row
+    (dur_ms, sr_hz, decoded stats, ...), not one — the reference's
+    detector loop iterates ``numerical_columns``
+    (``detectors/distribution.py``: one detector instance per column).
+    Running N single-column streams would scan every micro-batch N
+    times; this builder and :func:`stream_drift_multi` fuse all
+    columns into the same two jobs the single-column path uses:
+
+    1. ONE stats pass — every column's count/mean/var/range/decile
+       edges as 6N expressions in a single aggregate (no shuffle
+       beyond the global agg).
+    2. ONE binned-counts pass — each row emits an array of
+       (column_idx, js_bin, psi_bin) structs (nulls filtered
+       array-side), exploded and counted.  Map-side partial
+       aggregation collapses the explode to at most
+       ``ncols x nbins x psi_nbins`` rows per task before the
+       shuffle, so the exchange stays tiny at any row count.
+
+    Per-column dicts are exactly :func:`reference_profile`'s shape, so
+    all downstream arithmetic (``_binned_metrics``,
+    :func:`update_reference_profile`) applies unchanged per column.
+    Stored under ``column_profiles`` (string keys — JSON round-trips
+    through save/load_profile untouched).
+    """
+    if not columns:
+        raise ValueError("columns must be non-empty")
+    qs = [i / psi_nbins for i in range(1, psi_nbins)]
+    base = ref.select(
+        *[F.col(c).cast("double").alias(f"v{i}") for i, c in enumerate(columns)]
+    )
+    exprs = []
+    for i in range(len(columns)):
+        v = f"v{i}"
+        exprs += [
+            F.count(v).alias(f"n{i}"),
+            F.avg(v).alias(f"mean{i}"),
+            F.coalesce(F.var_samp(v), F.lit(0.0)).alias(f"var{i}"),
+            F.min(v).alias(f"mn{i}"),
+            F.max(v).alias(f"mx{i}"),
+            F.expr(
+                f"percentile({v}, array({', '.join(f'{q}D' for q in qs)}))"
+            ).alias(f"edges{i}"),
+        ]
+    st = base.agg(*exprs).collect()[0]
+    profiles: dict[str, dict] = {}
+    for i, c in enumerate(columns):
+        if not st[f"n{i}"]:
+            raise ValueError(f"reference window has no non-null {c} values")
+        mn, mx = float(st[f"mn{i}"]), float(st[f"mx{i}"])
+        width = (mx - mn) / nbins if mx > mn else 1.0
+        profiles[c] = {
+            "column": c,
+            "n": int(st[f"n{i}"]),
+            "mean": float(st[f"mean{i}"]),
+            "var": float(st[f"var{i}"]),
+            "mn": mn,
+            "mx": mx,
+            "width": width,
+            "nbins": nbins,
+            "psi_nbins": psi_nbins,
+            "edges": [float(e) for e in st[f"edges{i}"]],
+            "js_counts": np.zeros(nbins),
+            "psi_counts": np.zeros(psi_nbins),
+        }
+
+    for r in _multi_binned_rows(base, columns, profiles, with_moments=False):
+        p = profiles[columns[int(r.ci)]]
+        p["js_counts"][int(r.jb)] += r.c
+        p["psi_counts"][int(r.pb)] += r.c
+    for p in profiles.values():
+        p["js_counts"] = p["js_counts"].tolist()
+        p["psi_counts"] = p["psi_counts"].tolist()
+    return {
+        "kind": "distribution_multi",
+        "columns": list(columns),
+        "nbins": nbins,
+        "psi_nbins": psi_nbins,
+        "column_profiles": profiles,
+    }
+
+
+def _multi_binned_rows(base, columns: list[str], profiles: dict, with_moments: bool):
+    """One fused job: rows of (ci, jb, pb, c[, s, ss]) for every
+    column.  ``base`` must carry ``v0..v{N-1}`` double columns."""
+    structs = []
+    for i, c in enumerate(columns):
+        p = profiles[c]
+        v = F.col(f"v{i}")
+        structs.append(
+            F.when(
+                v.isNotNull(),
+                F.struct(
+                    F.lit(i).alias("ci"),
+                    _clamped_bin(v, p["mn"], p["width"], p["nbins"]).alias("jb"),
+                    _psi_bucket(v, p["edges"]).alias("pb"),
+                    v.alias("v"),
+                ),
+            )
+        )
+    exploded = base.select(
+        F.explode(
+            F.filter(F.array(*structs), lambda x: x.isNotNull())
+        ).alias("x")
+    ).select("x.ci", "x.jb", "x.pb", "x.v")
+    aggs = [F.count("*").alias("c")]
+    if with_moments:
+        aggs += [
+            F.sum("v").alias("s"),
+            F.sum(F.col("v") * F.col("v")).alias("ss"),
+        ]
+    return exploded.groupBy("ci", "jb", "pb").agg(*aggs).collect()
+
+
+def stream_drift_multi(
+    spark: SparkSession,
+    clips_dir: str,
+    profile: dict,
+    out_dir: str,
+    schema: str,
+    run_id: str = "drift-stream",
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+    min_samples: int = MIN_SAMPLES,
+    js_threshold: float = 0.1,
+    psi_threshold: float = 0.2,
+):
+    """Per-micro-batch drift for MANY columns vs their frozen profiles
+    — ONE fused aggregate per batch regardless of column count.
+
+    Appends one row per (column, epoch) to
+    ``<out_dir>/drift_metrics_multi`` (``MULTI_SINK_ROW_SCHEMA`` +
+    epoch partition).  Per-column rows are numerically IDENTICAL to
+    running :func:`stream_drift` on that column alone (same
+    ``_binned_metrics`` arithmetic on the same counts; test-asserted):
+    fusing changes the execution shape, not the numbers.  A column
+    with no non-null values in a batch still gets its (gated, n=0)
+    row, so every epoch reports every monitored column.  Epoch
+    partitions are overwritten — replays stay idempotent.
+    """
+    columns = profile["columns"]
+    profiles = profile["column_profiles"]
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(clips_dir)
+    sink = os.path.join(out_dir, "drift_metrics_multi")
+    checkpoint = os.path.join(out_dir, "_drift_stream_multi_checkpoint")
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        base = batch_df.select(
+            *[
+                F.col(c).cast("double").alias(f"v{i}")
+                for i, c in enumerate(columns)
+            ]
+        )
+        per_col: dict[str, dict] = {
+            c: {
+                "js": np.zeros(profiles[c]["nbins"]),
+                "psi": np.zeros(profiles[c]["psi_nbins"]),
+                "n": 0,
+                "s": 0.0,
+                "ss": 0.0,
+            }
+            for c in columns
+        }
+        for r in _multi_binned_rows(base, columns, profiles, with_moments=True):
+            a = per_col[columns[int(r.ci)]]
+            a["js"][int(r.jb)] += r.c
+            a["psi"][int(r.pb)] += r.c
+            a["n"] += r.c
+            a["s"] += r.s
+            a["ss"] += r.ss
+        out_rows = []
+        for c in columns:
+            a = per_col[c]
+            n = a["n"]
+            mean = a["s"] / n if n else 0.0
+            var = (a["ss"] - n * mean * mean) / (n - 1) if n > 1 else 0.0
+            gated = n < min_samples
+            if gated:
+                m = {
+                    "js": 0.0, "psi": 0.0, "ks_d": 0.0,
+                    "t_stat": 0.0, "drift_score": 0.0,
+                }
+            else:
+                m = _binned_metrics(
+                    profiles[c], a["js"], a["psi"], n, mean, var,
+                    js_threshold, psi_threshold,
+                )
+            out_rows.append(
+                (
+                    c, run_id, int(n), float(mean),
+                    m["js"], m["psi"], m["ks_d"], m["t_stat"],
+                    m["drift_score"],
+                    bool(not gated and m["drift_score"] > 1.0),
+                    bool(gated),
+                )
+            )
+        spark.createDataFrame(out_rows, MULTI_SINK_ROW_SCHEMA).write.mode(
+            "overwrite"
+        ).parquet(f"{sink}/epoch={int(epoch_id)}")
+
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    if available_now:
+        q.awaitTermination()
+    return q
+
+
 def reference_profile_grouped(
     ref: DataFrame,
     keys: list[str],

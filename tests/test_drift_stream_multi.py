@@ -1,0 +1,164 @@
+"""Multi-column streaming drift: one fused aggregate per micro-batch
+covers every monitored feature column; per-column rows are numerically
+identical to the single-column stream run on that column alone."""
+
+import pytest
+
+
+def _rows(n, a_shift=0.0, b_shift=0.0, c_null=False):
+    """Three numeric features with deterministic, distinct shapes."""
+    out = []
+    for i in range(n):
+        out.append(
+            (
+                float(1000 + (i % 13)) + a_shift,
+                float(50 + (i * 3) % 29) + b_shift,
+                None if c_null else float((i % 7) ** 2),
+            )
+        )
+    return out
+
+
+DDL = "fa double, fb double, fc double"
+COLS = ["fa", "fb", "fc"]
+
+
+def test_multi_profile_matches_single_column_profiles(spark):
+    from llm_drift_detector_spark.streaming import (
+        reference_profile,
+        reference_profile_multi,
+    )
+
+    ref = spark.createDataFrame(_rows(200), DDL)
+    multi = reference_profile_multi(ref, COLS, nbins=20, psi_nbins=5)
+    assert multi["kind"] == "distribution_multi" and multi["columns"] == COLS
+    for c in COLS:
+        solo = reference_profile(ref, c, nbins=20, psi_nbins=5)
+        got = multi["column_profiles"][c]
+        for k in ("n", "mean", "var", "mn", "mx", "width", "edges",
+                  "js_counts", "psi_counts"):
+            assert got[k] == pytest.approx(solo[k]), (c, k)
+
+
+def test_multi_stream_matches_single_streams_and_flags_one_column(
+    spark, tmp_path
+):
+    from llm_drift_detector_spark.streaming import (
+        reference_profile,
+        reference_profile_multi,
+        stream_drift,
+        stream_drift_multi,
+    )
+
+    ref = spark.createDataFrame(_rows(300), DDL)
+    multi = reference_profile_multi(ref, COLS)
+
+    # batch 0 clean; batch 1 shifts ONLY fb far out of range
+    src, out = str(tmp_path / "src"), str(tmp_path / "out")
+    batches = [_rows(80), _rows(80, b_shift=500.0)]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, DDL).coalesce(1).write.parquet(
+            f"{src}/b{i}"
+        )
+    stream_drift_multi(
+        spark, src + "/b*", multi, out, schema=DDL, max_files_per_trigger=1
+    )
+    got = {
+        (r.column, int(r.epoch)): r
+        for r in spark.read.parquet(f"{out}/drift_metrics_multi").collect()
+    }
+    assert set(got) == {(c, e) for c in COLS for e in (0, 1)}
+    flagged = {k for k, r in got.items() if r.drift_detected}
+    assert flagged == {("fb", 1)}
+
+    # exact per-column parity with the single-column stream
+    for c in COLS:
+        solo_prof = reference_profile(ref, c)
+        sout = str(tmp_path / f"solo_{c}")
+        stream_drift(
+            spark, src + "/b*", solo_prof, sout,
+            schema=DDL, max_files_per_trigger=1,
+        )
+        for r in spark.read.parquet(f"{sout}/drift_metrics").collect():
+            m = got[(c, int(r.epoch))]
+            for f in ("n", "batch_mean", "js", "psi", "ks_d", "t_stat",
+                      "drift_score"):
+                assert m[f] == pytest.approx(r[f], abs=1e-12), (c, f)
+            assert m.drift_detected == r.drift_detected
+            assert m.gated == r.gated
+
+
+def test_multi_stream_all_null_column_gates_not_drops(spark, tmp_path):
+    from llm_drift_detector_spark.streaming import (
+        reference_profile_multi,
+        stream_drift_multi,
+    )
+
+    ref = spark.createDataFrame(_rows(100), DDL)
+    multi = reference_profile_multi(ref, COLS)
+    src, out = str(tmp_path / "src"), str(tmp_path / "out")
+    spark.createDataFrame(_rows(60, c_null=True), DDL).coalesce(
+        1
+    ).write.parquet(f"{src}/b0")
+    stream_drift_multi(spark, src + "/b*", multi, out, schema=DDL)
+    rows = {r.column: r for r in spark.read.parquet(
+        f"{out}/drift_metrics_multi"
+    ).collect()}
+    assert set(rows) == set(COLS)  # every monitored column reports
+    assert rows["fc"].gated and rows["fc"].n == 0
+    assert not rows["fa"].gated and rows["fa"].n == 60
+
+
+def test_multi_profile_save_load_and_null_column_refusal(spark, tmp_path):
+    from llm_drift_detector_spark.streaming import (
+        load_profile,
+        reference_profile_multi,
+        save_profile,
+    )
+
+    ref = spark.createDataFrame(_rows(100), DDL)
+    multi = reference_profile_multi(ref, ["fa", "fb"])
+    path = str(tmp_path / "multi.json")
+    save_profile(multi, path)
+    assert load_profile(path) == multi  # string keys survive untouched
+
+    all_null = spark.createDataFrame(_rows(50, c_null=True), DDL)
+    with pytest.raises(ValueError, match="fc"):
+        reference_profile_multi(all_null, COLS)
+
+
+def test_monitor_cli_drift_columns(spark, tmp_path, capsys):
+    """--drift-columns switches the distribution family to the fused
+    multi stream: per-column summary + per-column alert keys."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    import monitor_stream
+
+    from llm_drift_detector_spark.synth import ensure_synth
+
+    root = ensure_synth(spark, "/root/testdata/sf0.001")
+    out = str(tmp_path / "m")
+    assert monitor_stream.main([
+        "--clips-dir", f"{root}/clips",
+        "--reference", f"{root}/clips_reference",
+        "--transcripts", f"{root}/transcripts",
+        "--out", out,
+        "--drift-columns", "dur_ms,sr_hz",
+    ]) == 0
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s["drift_column"] == ["dur_ms", "sr_hz"]
+    assert s["epochs"] >= 1
+    # clean synth traffic: no column drifts
+    assert s["drift_detected"] == []
+
+    with pytest.raises(SystemExit, match="not combinable"):
+        monitor_stream.main([
+            "--clips-dir", f"{root}/clips",
+            "--reference", f"{root}/clips_reference",
+            "--transcripts", f"{root}/transcripts",
+            "--out", str(tmp_path / "m2"),
+            "--drift-columns", "dur_ms,sr_hz",
+            "--group-keys", "codec",
+        ])
