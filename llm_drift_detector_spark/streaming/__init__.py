@@ -8,6 +8,7 @@ from .drift_stream import (  # noqa: F401
     stream_drift_grouped,
     stream_drift_multi,
     update_reference_profile,
+    update_reference_profile_multi,
 )
 from .embedding_stream import (  # noqa: F401
     embedding_reference_profile,

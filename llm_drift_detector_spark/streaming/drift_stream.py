@@ -463,9 +463,15 @@ def reference_profile_multi(
     }
 
 
-def _multi_binned_rows(base, columns: list[str], profiles: dict, with_moments: bool):
-    """One fused job: rows of (ci, jb, pb, c[, s, ss]) for every
-    column.  ``base`` must carry ``v0..v{N-1}`` double columns."""
+def _multi_binned_rows(
+    base,
+    columns: list[str],
+    profiles: dict,
+    with_moments: bool,
+    with_range: bool = False,
+):
+    """One fused job: rows of (ci, jb, pb, c[, s, ss][, mn, mx]) for
+    every column.  ``base`` must carry ``v0..v{N-1}`` double columns."""
     structs = []
     for i, c in enumerate(columns):
         p = profiles[c]
@@ -492,7 +498,82 @@ def _multi_binned_rows(base, columns: list[str], profiles: dict, with_moments: b
             F.sum("v").alias("s"),
             F.sum(F.col("v") * F.col("v")).alias("ss"),
         ]
+    if with_range:
+        aggs += [F.min("v").alias("mn"), F.max("v").alias("mx")]
     return exploded.groupBy("ci", "jb", "pb").agg(*aggs).collect()
+
+
+def update_reference_profile_multi(
+    profile: dict,
+    new_data: DataFrame,
+    rebin_rel_threshold: float = 0.25,
+) -> dict:
+    """Fold ``new_data`` into every column of a multi profile — ONE
+    fused job for all columns (the :func:`_multi_binned_rows` pass with
+    moments + range), then the same exact Chan moments merge + frozen-
+    geometry bin adds :func:`update_reference_profile` applies per
+    column.  Per-column results are identical to running the
+    single-column update N times (test-asserted); each column tracks
+    its own ``data_mn/data_mx/needs_rebin``.
+    """
+    columns = profile["columns"]
+    profiles = profile["column_profiles"]
+    base = new_data.select(
+        *[F.col(c).cast("double").alias(f"v{i}") for i, c in enumerate(columns)]
+    )
+    acc = {
+        c: {
+            "js": np.asarray(profiles[c]["js_counts"], dtype=np.float64).copy(),
+            "psi": np.asarray(profiles[c]["psi_counts"], dtype=np.float64).copy(),
+            "n": 0, "s": 0.0, "ss": 0.0,
+            "mn": math.inf, "mx": -math.inf,
+        }
+        for c in columns
+    }
+    for r in _multi_binned_rows(
+        base, columns, profiles, with_moments=True, with_range=True
+    ):
+        a = acc[columns[int(r.ci)]]
+        a["js"][int(r.jb)] += r.c
+        a["psi"][int(r.pb)] += r.c
+        a["n"] += r.c
+        a["s"] += r.s
+        a["ss"] += r.ss
+        a["mn"] = min(a["mn"], r.mn)
+        a["mx"] = max(a["mx"], r.mx)
+
+    merged: dict[str, dict] = {}
+    for c in columns:
+        p, a = profiles[c], acc[c]
+        n2 = a["n"]
+        if n2 == 0:
+            merged[c] = dict(p)
+            continue
+        n1, m1 = p["n"], p["mean"]
+        m2_1 = p["var"] * (n1 - 1) if n1 > 1 else 0.0
+        mean2 = a["s"] / n2
+        m2_2 = a["ss"] - n2 * mean2 * mean2
+        n = n1 + n2
+        delta = mean2 - m1
+        mean = m1 + delta * n2 / n
+        m2 = m2_1 + m2_2 + delta * delta * n1 * n2 / n
+        var = m2 / (n - 1) if n > 1 else 0.0
+        data_mn = min(p.get("data_mn", p["mn"]), a["mn"])
+        data_mx = max(p.get("data_mx", p["mx"]), a["mx"])
+        span = max(p["mx"] - p["mn"], 1e-300)
+        range_excess = max(p["mn"] - data_mn, data_mx - p["mx"]) / span
+        merged[c] = {
+            **p,
+            "n": int(n),
+            "mean": float(mean),
+            "var": float(var),
+            "js_counts": a["js"].tolist(),
+            "psi_counts": a["psi"].tolist(),
+            "data_mn": float(data_mn),
+            "data_mx": float(data_mx),
+            "needs_rebin": bool(range_excess > rebin_rel_threshold),
+        }
+    return {**profile, "column_profiles": merged}
 
 
 def stream_drift_multi(

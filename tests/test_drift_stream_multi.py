@@ -162,3 +162,39 @@ def test_monitor_cli_drift_columns(spark, tmp_path, capsys):
             "--drift-columns", "dur_ms,sr_hz",
             "--group-keys", "codec",
         ])
+
+
+def test_update_multi_matches_per_column_updates(spark):
+    """The fused incremental update equals N single-column updates:
+    counts/bins exactly, moments to fp roundoff; a column that is
+    all-null in the new data keeps its profile untouched."""
+    from llm_drift_detector_spark.streaming import (
+        reference_profile,
+        reference_profile_multi,
+        update_reference_profile,
+        update_reference_profile_multi,
+    )
+
+    ref = spark.createDataFrame(_rows(150), DDL)
+    new = spark.createDataFrame(
+        _rows(90, a_shift=3.0, b_shift=-200.0, c_null=True), DDL
+    )
+    multi = reference_profile_multi(ref, COLS)
+    merged = update_reference_profile_multi(multi, new)
+    assert merged["columns"] == COLS
+
+    for c in COLS:
+        solo = update_reference_profile(reference_profile(ref, c), new)
+        got = merged["column_profiles"][c]
+        assert got["n"] == solo["n"]
+        assert got["js_counts"] == solo["js_counts"]
+        assert got["psi_counts"] == solo["psi_counts"]
+        assert got["mean"] == pytest.approx(solo["mean"], rel=1e-12)
+        assert got["var"] == pytest.approx(solo["var"], rel=1e-12)
+        for k in ("data_mn", "data_mx", "needs_rebin"):
+            assert got.get(k) == solo.get(k), (c, k)
+    # fb shifted far below the frozen range: rebin flag raised there only
+    assert merged["column_profiles"]["fb"]["needs_rebin"]
+    assert not merged["column_profiles"]["fa"]["needs_rebin"]
+    # fc all-null: untouched
+    assert merged["column_profiles"]["fc"] == multi["column_profiles"]["fc"]
