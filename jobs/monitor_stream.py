@@ -53,7 +53,9 @@ Prints one JSON summary line in AvailableNow mode.
 
 Measured drain throughput (tools/stream_bench.py, sf0.1 = 600k clips,
 local[32], 16 micro-batches): distribution drift 26.1k rows/sec (p50
-trigger 1.2 s), embedding drift 20.2k rows/sec (p50 1.8 s), full
+trigger 1.2 s), fused 4-column drift 21.0k rows/sec = 84k
+column-rows/sec (1.23x one stream's wall for four features),
+embedding drift 20.2k rows/sec (p50 1.8 s), full
 8-check validation 7.9k clips/sec (p50 4.3 s — per-batch re-joins
 against transcripts/reference are the documented cost of batch-local
 streaming validation), bloom payload dedup 19.3k rows/sec with a
@@ -84,7 +86,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--drift-column", default="dur_ms")
     p.add_argument(
         "--drift-columns", default=None,
-        help="comma-separated feature columns: monitor ALL of them via "
+        help="comma-separated feature columns (or SQL expressions like "
+        "length(bytes)): monitor ALL of them via "
         "ONE fused aggregate per micro-batch (stream_drift_multi) "
         "instead of the single --drift-column stream; not combinable "
         "with --group-keys",

@@ -405,12 +405,18 @@ def reference_profile_multi(
     :func:`update_reference_profile`) applies unchanged per column.
     Stored under ``column_profiles`` (string keys — JSON round-trips
     through save/load_profile untouched).
+
+    Each entry of ``columns`` may be a plain column name OR any SQL
+    expression castable to double (``length(bytes)``,
+    ``length(transcript)``) — payload/metadata features monitor
+    without a decode pass; the expression string is the column key in
+    profiles, sink rows, and alert cooldowns.
     """
     if not columns:
         raise ValueError("columns must be non-empty")
     qs = [i / psi_nbins for i in range(1, psi_nbins)]
     base = ref.select(
-        *[F.col(c).cast("double").alias(f"v{i}") for i, c in enumerate(columns)]
+        *[F.expr(c).cast("double").alias(f"v{i}") for i, c in enumerate(columns)]
     )
     exprs = []
     for i in range(len(columns)):
@@ -519,7 +525,7 @@ def update_reference_profile_multi(
     columns = profile["columns"]
     profiles = profile["column_profiles"]
     base = new_data.select(
-        *[F.col(c).cast("double").alias(f"v{i}") for i, c in enumerate(columns)]
+        *[F.expr(c).cast("double").alias(f"v{i}") for i, c in enumerate(columns)]
     )
     acc = {
         c: {
@@ -614,7 +620,7 @@ def stream_drift_multi(
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         base = batch_df.select(
             *[
-                F.col(c).cast("double").alias(f"v{i}")
+                F.expr(c).cast("double").alias(f"v{i}")
                 for i, c in enumerate(columns)
             ]
         )

@@ -198,3 +198,38 @@ def test_update_multi_matches_per_column_updates(spark):
     assert not merged["column_profiles"]["fa"]["needs_rebin"]
     # fc all-null: untouched
     assert merged["column_profiles"]["fc"] == multi["column_profiles"]["fc"]
+
+
+def test_multi_columns_accept_sql_expressions(spark, tmp_path):
+    """A column spec may be any SQL expression (length(s) here):
+    payload/metadata features stream without a decode pass, keyed by
+    the expression string end to end."""
+    from llm_drift_detector_spark.streaming import (
+        reference_profile_multi,
+        stream_drift_multi,
+        update_reference_profile_multi,
+    )
+
+    ddl = "fa double, s string"
+    mk = lambda n, pad: [
+        (float(1000 + (i % 13)), "x" * (10 + (i % 5) + pad)) for i in range(n)
+    ]
+    ref = spark.createDataFrame(mk(150, 0), ddl)
+    cols = ["fa", "length(s)"]
+    prof = reference_profile_multi(ref, cols)
+    assert set(prof["column_profiles"]) == set(cols)
+    assert prof["column_profiles"]["length(s)"]["mn"] == 10.0
+
+    src, out = str(tmp_path / "src"), str(tmp_path / "out")
+    spark.createDataFrame(mk(60, 40), ddl).coalesce(1).write.parquet(
+        f"{src}/b0"
+    )
+    stream_drift_multi(spark, src + "/b*", prof, out, schema=ddl)
+    rows = {r.column: r for r in spark.read.parquet(
+        f"{out}/drift_metrics_multi"
+    ).collect()}
+    assert rows["length(s)"].drift_detected  # strings grew 40 chars
+    assert not rows["fa"].drift_detected
+
+    merged = update_reference_profile_multi(prof, ref)
+    assert merged["column_profiles"]["length(s)"]["n"] == 300

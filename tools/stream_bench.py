@@ -115,6 +115,34 @@ def main() -> None:
         "rows_per_sec": int(st["rows"] / wall) if wall else 0,
     }
 
+    # ---- 1b. fused multi-column drift stream -------------------------
+    # four features (two metadata columns + two no-decode payload
+    # expressions) through ONE aggregate per micro-batch; the point of
+    # comparison is stream_drift above — N columns should cost ~one
+    # stream's drain, not N drains
+    from llm_drift_detector_spark.streaming import (
+        reference_profile_multi,
+        stream_drift_multi,
+    )
+
+    mcols = ["dur_ms", "sr_hz", "length(bytes)", "length(transcript)"]
+    mprof = reference_profile_multi(ref, mcols)
+    t0 = time.time()
+    q = stream_drift_multi(
+        spark, clips_dir, mprof, f"{scratch}/mdrift", schema=CLIPS_DDL,
+        max_files_per_trigger=files_per_trigger,
+    )
+    wall = time.time() - t0
+    st = _trigger_stats(_progress_list(q))
+    results["stream_drift_multi_4col"] = {
+        **st, "wall_s": round(wall, 2),
+        "rows_per_sec": int(st["rows"] / wall) if wall else 0,
+        "columns": len(mcols),
+        "col_rows_per_sec": (
+            int(len(mcols) * st["rows"] / wall) if wall else 0
+        ),
+    }
+
     # ---- 2. embedding drift stream (transcripts backlog) -------------
     eprof = embedding_reference_profile(tr_ref, "embedding")
     t0 = time.time()
