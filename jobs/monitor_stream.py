@@ -31,6 +31,11 @@ Writes to --out:
   --drift-columns names several feature columns (stream_drift_multi:
   ONE fused aggregate per micro-batch covers every column; per-column
   rows are numerically identical to the single-column stream)
+- ``drift_metrics_multi_grouped/`` one row per (group, column, epoch)
+  when --drift-columns AND --group-keys are both given — the full
+  G x N monitoring matrix through one aggregate per micro-batch
+  (stream_drift_multi_grouped); alert cooldowns key on
+  column|group so every cell throttles independently
 - ``embedding_metrics/``  one embedding-drift row per epoch, when
   --embedding-column is given (stream_embedding_drift vs a frozen
   centroid profile; the reference's detector registry runs the
@@ -89,8 +94,8 @@ def main(argv: list[str] | None = None) -> int:
         help="comma-separated feature columns (or SQL expressions like "
         "length(bytes)): monitor ALL of them via "
         "ONE fused aggregate per micro-batch (stream_drift_multi) "
-        "instead of the single --drift-column stream; not combinable "
-        "with --group-keys",
+        "instead of the single --drift-column stream; combine with "
+        "--group-keys for the full groups x columns matrix",
     )
     p.add_argument(
         "--group-keys", default=None,
@@ -202,11 +207,6 @@ def main(argv: list[str] | None = None) -> int:
     # closed over every micro-batch after that
     group_keys = args.group_keys.split(",") if args.group_keys else None
     drift_cols = args.drift_columns.split(",") if args.drift_columns else None
-    if drift_cols and group_keys:
-        raise SystemExit(
-            "--drift-columns and --group-keys are not combinable — run "
-            "the grouped stream per column, or the multi stream globally"
-        )
     if args.profile_path and os.path.exists(args.profile_path):
         from llm_drift_detector_spark.streaming import load_profile
 
@@ -234,7 +234,13 @@ def main(argv: list[str] | None = None) -> int:
                 (
                     "kind",
                     profile.get("kind"),
-                    "distribution_multi" if drift_cols else profile.get("kind"),
+                    (
+                        "distribution_multi_grouped"
+                        if group_keys
+                        else "distribution_multi"
+                    )
+                    if drift_cols
+                    else profile.get("kind"),
                 ),
                 ("nbins", profile.get("nbins"), args.nbins),
                 ("psi_nbins", profile.get("psi_nbins"), args.psi_nbins),
@@ -248,7 +254,16 @@ def main(argv: list[str] | None = None) -> int:
                 "re-freeze, or rerun with the stored settings"
             )
     else:
-        if drift_cols:
+        if drift_cols and group_keys:
+            from llm_drift_detector_spark.streaming import (
+                reference_profile_multi_grouped,
+            )
+
+            profile = reference_profile_multi_grouped(
+                reference, group_keys, drift_cols,
+                nbins=args.nbins, psi_nbins=args.psi_nbins,
+            )
+        elif drift_cols:
             from llm_drift_detector_spark.streaming import reference_profile_multi
 
             profile = reference_profile_multi(
@@ -405,9 +420,12 @@ def main(argv: list[str] | None = None) -> int:
         max_files_per_trigger=args.max_files_per_trigger,
     )
     if drift_cols:
-        from llm_drift_detector_spark.streaming import stream_drift_multi
+        from llm_drift_detector_spark.streaming import (
+            stream_drift_multi,
+            stream_drift_multi_grouped,
+        )
 
-        drift_fn = stream_drift_multi
+        drift_fn = stream_drift_multi_grouped if group_keys else stream_drift_multi
     else:
         drift_fn = stream_drift_grouped if group_keys else stream_drift
     qd = drift_fn(
@@ -462,7 +480,12 @@ def main(argv: list[str] | None = None) -> int:
     summary = {
         "run_id": args.run_id,
         "reference_rows": (
-            max(p["n"] for p in profile["column_profiles"].values())
+            sum(
+                max(p["n"] for p in cols.values())
+                for cols in profile["profiles"].values()
+            )
+            if drift_cols and group_keys
+            else max(p["n"] for p in profile["column_profiles"].values())
             if drift_cols
             else sum(p["n"] for p in profile["profiles"].values())
             if group_keys
@@ -473,7 +496,7 @@ def main(argv: list[str] | None = None) -> int:
     vio_path = os.path.join(args.out, "violations_stream")
     met_path = os.path.join(
         args.out,
-        "drift_metrics_multi"
+        ("drift_metrics_multi_grouped" if group_keys else "drift_metrics_multi")
         if drift_cols
         else "drift_metrics_grouped" if group_keys else "drift_metrics",
     )
@@ -490,7 +513,17 @@ def main(argv: list[str] | None = None) -> int:
     except Exception:
         rows = []
     summary["epochs"] = len({int(r.epoch) for r in rows})
-    if drift_cols:
+    if drift_cols and group_keys:
+        summary["drift_detected"] = [
+            {
+                **{k: r[k] for k in group_keys},
+                "column": r.column,
+                "epoch": int(r.epoch),
+            }
+            for r in rows
+            if r.drift_detected
+        ]
+    elif drift_cols:
         summary["drift_detected"] = [
             {"column": r.column, "epoch": int(r.epoch)}
             for r in rows
@@ -579,7 +612,7 @@ def main(argv: list[str] | None = None) -> int:
             {
                 "detector_name": "distribution_stream",
                 "column": (
-                    r.column
+                    r.column + group_suffix(r, group_keys or [])
                     if drift_cols
                     else args.drift_column + group_suffix(r, group_keys or [])
                 ),

@@ -3,10 +3,12 @@ from .drift_stream import (  # noqa: F401
     reference_profile,
     reference_profile_grouped,
     reference_profile_multi,
+    reference_profile_multi_grouped,
     save_profile,
     stream_drift,
     stream_drift_grouped,
     stream_drift_multi,
+    stream_drift_multi_grouped,
     update_reference_profile,
     update_reference_profile_multi,
 )

@@ -947,6 +947,321 @@ def stream_drift_grouped(
     return q
 
 
+def reference_profile_multi_grouped(
+    ref: DataFrame,
+    keys: list[str],
+    columns: list[str],
+    nbins: int = 40,
+    psi_nbins: int = 10,
+) -> dict:
+    """Frozen per-(group, column) profiles — the full monitoring
+    matrix: the reference's loop is per-provider AND per-numerical-
+    column; :func:`stream_drift_multi_grouped` runs G groups x N
+    columns through ONE aggregate per micro-batch.
+
+    Two grouped jobs once per stream (the single-column grouped
+    builder's shape, widened): a per-group stats pass with 6N
+    expressions, and a binned-counts pass where each row joins its
+    group's broadcast per-column geometry arrays and emits
+    (column_idx, js_bin, psi_bin) structs.  ``columns`` entries may be
+    SQL expressions (:func:`reference_profile_multi`'s contract).
+
+    Every (group, column) cell must have at least one non-null value —
+    a silent empty cell would make that pair unmonitorable while the
+    summary claims coverage, so the builder raises listing offenders.
+    Driver memory is O(#groups x #columns x nbins).
+    """
+    if not columns:
+        raise ValueError("columns must be non-empty")
+    qs = [i / psi_nbins for i in range(1, psi_nbins)]
+    base = ref.select(
+        *[F.col(k).cast("string").alias(k) for k in keys],
+        *[F.expr(c).cast("double").alias(f"v{i}") for i, c in enumerate(columns)],
+    )
+    exprs = []
+    for i in range(len(columns)):
+        v = f"v{i}"
+        exprs += [
+            F.count(v).alias(f"n{i}"),
+            F.avg(v).alias(f"mean{i}"),
+            F.coalesce(F.var_samp(v), F.lit(0.0)).alias(f"var{i}"),
+            F.min(v).alias(f"mn{i}"),
+            F.max(v).alias(f"mx{i}"),
+            F.expr(
+                f"percentile({v}, array({', '.join(f'{q}D' for q in qs)}))"
+            ).alias(f"edges{i}"),
+        ]
+    st = base.groupBy(*keys).agg(*exprs).collect()
+    if not st:
+        raise ValueError("reference window is empty")
+    empty_cells = [
+        (tuple(r[k] for k in keys), c)
+        for r in st
+        for i, c in enumerate(columns)
+        if not r[f"n{i}"]
+    ]
+    if empty_cells:
+        raise ValueError(
+            "reference window has no non-null values for "
+            f"{[(list(g), c) for g, c in empty_cells]}"
+        )
+    profiles: dict[tuple, dict] = {}
+    for r in st:
+        g = tuple(r[k] for k in keys)
+        profiles[g] = {}
+        for i, c in enumerate(columns):
+            mn, mx = float(r[f"mn{i}"]), float(r[f"mx{i}"])
+            width = (mx - mn) / nbins if mx > mn else 1.0
+            profiles[g][c] = {
+                "column": c,
+                "n": int(r[f"n{i}"]),
+                "mean": float(r[f"mean{i}"]),
+                "var": float(r[f"var{i}"]),
+                "mn": mn,
+                "mx": mx,
+                "width": width,
+                "nbins": nbins,
+                "psi_nbins": psi_nbins,
+                "edges": [float(e) for e in r[f"edges{i}"]],
+                "js_counts": np.zeros(nbins),
+                "psi_counts": np.zeros(psi_nbins),
+            }
+    spark = ref.sparkSession
+    gframe = _multi_geometry_frame(spark, keys, columns, profiles)
+    for r in _multi_grouped_binned_rows(
+        base.join(F.broadcast(gframe), keys),
+        keys, columns, nbins, with_moments=False,
+    ):
+        if int(r.ci) < 0:
+            continue
+        p = profiles[tuple(r[k] for k in keys)][columns[int(r.ci)]]
+        p["js_counts"][int(r.jb)] += r.c
+        p["psi_counts"][int(r.pb)] += r.c
+    for g in profiles.values():
+        for p in g.values():
+            p["js_counts"] = p["js_counts"].tolist()
+            p["psi_counts"] = p["psi_counts"].tolist()
+    return {
+        "kind": "distribution_multi_grouped",
+        "columns": list(columns),
+        "keys": list(keys),
+        "nbins": nbins,
+        "psi_nbins": psi_nbins,
+        "profiles": profiles,
+    }
+
+
+def _multi_geometry_frame(
+    spark, keys: list[str], columns: list[str], profiles: dict
+) -> DataFrame:
+    """One row per group carrying per-column geometry ARRAYS (indexed
+    by column position), for broadcast-joining batches against."""
+    rows = [
+        (
+            *g,
+            [cols[c]["mn"] for c in columns],
+            [cols[c]["width"] for c in columns],
+            [cols[c]["edges"] for c in columns],
+        )
+        for g, cols in profiles.items()
+    ]
+    ddl = ", ".join(f"{k} string" for k in keys) + (
+        ", __mns array<double>, __widths array<double>, "
+        "__edges array<array<double>>"
+    )
+    return spark.createDataFrame(rows, ddl)
+
+
+def _multi_grouped_binned_rows(
+    joined: DataFrame,
+    keys: list[str],
+    columns: list[str],
+    nbins: int,
+    with_moments: bool,
+):
+    """ONE fused job over a geometry-joined frame: rows of
+    (keys..., ci, jb, pb, c[, s, ss]).  Rows whose group has no frozen
+    geometry (NULL ``__mns`` after a left join) collapse into a single
+    ``ci = -1`` marker struct per row — unknown-ROW counts ride the
+    same aggregate, no second pass."""
+    structs = []
+    for i in range(len(columns)):
+        v = F.col(f"v{i}")
+        raw = F.floor((v - F.col("__mns")[i]) / F.col("__widths")[i])
+        jb = F.greatest(F.least(raw, F.lit(nbins - 1)), F.lit(0)).cast("int")
+        pb = F.aggregate(
+            F.col("__edges")[i],
+            F.lit(0),
+            lambda acc, e: acc + (v > e).cast("int"),
+        ).cast("int")
+        structs.append(
+            F.when(
+                v.isNotNull(),
+                F.struct(
+                    F.lit(i).alias("ci"), jb.alias("jb"),
+                    pb.alias("pb"), v.alias("v"),
+                ),
+            )
+        )
+    unknown_marker = F.struct(
+        F.lit(-1).alias("ci"),
+        F.lit(None).cast("int").alias("jb"),
+        F.lit(None).cast("int").alias("pb"),
+        F.lit(None).cast("double").alias("v"),
+    )
+    any_value = F.coalesce(*[F.col(f"v{i}") for i in range(len(columns))])
+    arr = F.when(
+        F.col("__mns").isNotNull(),
+        F.filter(F.array(*structs), lambda x: x.isNotNull()),
+    ).otherwise(
+        F.when(any_value.isNotNull(), F.array(unknown_marker)).otherwise(
+            F.array().cast(
+                "array<struct<ci:int,jb:int,pb:int,v:double>>"
+            )
+        )
+    )
+    exploded = joined.select(*keys, F.explode(arr).alias("x")).select(
+        *keys, "x.ci", "x.jb", "x.pb", "x.v"
+    )
+    aggs = [F.count("*").alias("c")]
+    if with_moments:
+        aggs += [
+            F.sum("v").alias("s"),
+            F.sum(F.col("v") * F.col("v")).alias("ss"),
+        ]
+    return exploded.groupBy(*keys, "ci", "jb", "pb").agg(*aggs).collect()
+
+
+def stream_drift_multi_grouped(
+    spark: SparkSession,
+    clips_dir: str,
+    profile: dict,
+    out_dir: str,
+    schema: str,
+    run_id: str = "drift-stream",
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+    min_samples: int = MIN_SAMPLES,
+    js_threshold: float = 0.1,
+    psi_threshold: float = 0.2,
+):
+    """G groups x N columns per micro-batch, ONE aggregate — the full
+    monitoring matrix in a single streaming job.
+
+    Appends one row per (group, column, epoch) to
+    ``<out_dir>/drift_metrics_multi_grouped`` (group keys string-cast +
+    ``column`` + the metric columns + ``gated_reason``).  Per-cell rows
+    are numerically identical to :func:`stream_drift_grouped` run on
+    that column alone (test-asserted).  Row conventions match the
+    grouped single-column variant: unknown-group rows collapse into a
+    NULL-keyed NULL-column ``unknown_group`` row (``n`` counts ROWS
+    with at least one non-null monitored value, not row x column
+    cells); per-cell ``min_samples`` gating; an empty batch writes a
+    NULL ``empty_batch`` placeholder; epoch partitions are overwritten
+    so replays stay idempotent.
+    """
+    columns = profile["columns"]
+    keys = profile["keys"]
+    nbins, psi_nbins = profile["nbins"], profile["psi_nbins"]
+    profiles = profile["profiles"]
+    sink = os.path.join(out_dir, "drift_metrics_multi_grouped")
+    checkpoint = os.path.join(out_dir, "_drift_stream_multi_grouped_checkpoint")
+    out_schema = ", ".join(f"{k} string" for k in keys) + (
+        ", column string, " + _SINK_ROW_SCHEMA + ", gated_reason string"
+    )
+    gframe = _multi_geometry_frame(spark, keys, columns, profiles)
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        base = batch_df.select(
+            *[F.col(k).cast("string").alias(k) for k in keys],
+            *[
+                F.expr(c).cast("double").alias(f"v{i}")
+                for i, c in enumerate(columns)
+            ],
+        )
+        joined = base.join(F.broadcast(gframe), keys, "left")
+        acc: dict[tuple, dict] = {}
+        n_unknown = 0
+        for r in _multi_grouped_binned_rows(
+            joined, keys, columns, nbins, with_moments=True
+        ):
+            if int(r.ci) < 0:
+                n_unknown += r.c
+                continue
+            cell = (tuple(r[k] for k in keys), columns[int(r.ci)])
+            a = acc.setdefault(
+                cell,
+                {
+                    "js": np.zeros(nbins), "psi": np.zeros(psi_nbins),
+                    "n": 0, "s": 0.0, "ss": 0.0,
+                },
+            )
+            a["js"][int(r.jb)] += r.c
+            a["psi"][int(r.pb)] += r.c
+            a["n"] += r.c
+            a["s"] += r.s
+            a["ss"] += r.ss
+        out_rows = []
+        for (g, c), a in sorted(acc.items()):
+            n = a["n"]
+            mean = a["s"] / n if n else 0.0
+            var = (a["ss"] - n * mean * mean) / (n - 1) if n > 1 else 0.0
+            gated = n < min_samples
+            if gated:
+                m = {
+                    "js": 0.0, "psi": 0.0, "ks_d": 0.0,
+                    "t_stat": 0.0, "drift_score": 0.0,
+                }
+            else:
+                m = _binned_metrics(
+                    profiles[g][c], a["js"], a["psi"], n, mean, var,
+                    js_threshold, psi_threshold,
+                )
+            out_rows.append(
+                (
+                    *g, c, run_id, int(n), float(mean),
+                    m["js"], m["psi"], m["ks_d"], m["t_stat"],
+                    m["drift_score"],
+                    bool(not gated and m["drift_score"] > 1.0),
+                    bool(gated),
+                    "min_samples" if gated else None,
+                )
+            )
+        if n_unknown:
+            out_rows.append(
+                (
+                    *([None] * len(keys)), None,
+                    run_id, int(n_unknown), 0.0,
+                    0.0, 0.0, 0.0, 0.0, 0.0, False, True, "unknown_group",
+                )
+            )
+        if not out_rows:
+            out_rows.append(
+                (
+                    *([None] * len(keys)), None,
+                    run_id, 0, 0.0,
+                    0.0, 0.0, 0.0, 0.0, 0.0, False, True, "empty_batch",
+                )
+            )
+        spark.createDataFrame(out_rows, out_schema).write.mode(
+            "overwrite"
+        ).parquet(f"{sink}/epoch={int(epoch_id)}")
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(clips_dir)
+    writer = stream.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    if available_now:
+        q.awaitTermination()
+    return q
+
+
 def save_profile(profile: dict, path: str) -> None:
     """Persist a frozen profile (global or grouped) as JSON.
 

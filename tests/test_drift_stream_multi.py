@@ -153,15 +153,17 @@ def test_monitor_cli_drift_columns(spark, tmp_path, capsys):
     # clean synth traffic: no column drifts
     assert s["drift_detected"] == []
 
-    with pytest.raises(SystemExit, match="not combinable"):
-        monitor_stream.main([
-            "--clips-dir", f"{root}/clips",
-            "--reference", f"{root}/clips_reference",
-            "--transcripts", f"{root}/transcripts",
-            "--out", str(tmp_path / "m2"),
-            "--drift-columns", "dur_ms,sr_hz",
-            "--group-keys", "codec",
-        ])
+    # the full matrix: --drift-columns x --group-keys
+    assert monitor_stream.main([
+        "--clips-dir", f"{root}/clips",
+        "--reference", f"{root}/clips_reference",
+        "--transcripts", f"{root}/transcripts",
+        "--out", str(tmp_path / "m2"),
+        "--drift-columns", "dur_ms,sr_hz",
+        "--group-keys", "codec",
+    ]) == 0
+    s2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s2["epochs"] >= 1 and s2["drift_detected"] == []
 
 
 def test_update_multi_matches_per_column_updates(spark):
@@ -233,3 +235,131 @@ def test_multi_columns_accept_sql_expressions(spark, tmp_path):
 
     merged = update_reference_profile_multi(prof, ref)
     assert merged["column_profiles"]["length(s)"]["n"] == 300
+
+
+GDDL = "provider string, fa double, fb double"
+
+
+def _grows(groups, n, fb_shift=0.0, shift_group=None):
+    out = []
+    for g in groups:
+        for i in range(n):
+            out.append(
+                (
+                    g,
+                    float(1000 + (i % 13)) + (10.0 if g == "b" else 0.0),
+                    float(50 + (i * 3) % 29)
+                    + (fb_shift if g == shift_group else 0.0),
+                )
+            )
+    return out
+
+
+def test_multi_grouped_matches_grouped_per_column_and_flags_one_cell(
+    spark, tmp_path
+):
+    from llm_drift_detector_spark.streaming import (
+        reference_profile_grouped,
+        reference_profile_multi_grouped,
+        stream_drift_grouped,
+        stream_drift_multi_grouped,
+    )
+
+    ref = spark.createDataFrame(_grows(["a", "b"], 120), GDDL)
+    mg = reference_profile_multi_grouped(ref, ["provider"], ["fa", "fb"])
+    assert mg["kind"] == "distribution_multi_grouped"
+    assert set(mg["profiles"]) == {("a",), ("b",)}
+
+    # batch: only (group b, column fb) shifts; plus an unknown provider
+    src, out = str(tmp_path / "src"), str(tmp_path / "out")
+    batch = _grows(["a", "b"], 60, fb_shift=400.0, shift_group="b") + [
+        ("zzz", 1.0, 2.0)
+    ] * 7
+    spark.createDataFrame(batch, GDDL).coalesce(1).write.parquet(f"{src}/b0")
+    stream_drift_multi_grouped(spark, src + "/b*", mg, out, schema=GDDL)
+    got = {
+        (r.provider, r.column): r
+        for r in spark.read.parquet(
+            f"{out}/drift_metrics_multi_grouped"
+        ).collect()
+    }
+    assert set(got) == {
+        ("a", "fa"), ("a", "fb"), ("b", "fa"), ("b", "fb"), (None, None),
+    }
+    flagged = {k for k, r in got.items() if r.drift_detected}
+    assert flagged == {("b", "fb")}
+    unk = got[(None, None)]
+    assert unk.gated_reason == "unknown_group" and unk.n == 7
+
+    # exact per-cell parity with the single-column grouped stream
+    for c in ("fa", "fb"):
+        gprof = reference_profile_grouped(ref, ["provider"], c)
+        sout = str(tmp_path / f"solo_{c}")
+        stream_drift_grouped(spark, src + "/b*", gprof, sout, schema=GDDL)
+        for r in spark.read.parquet(f"{sout}/drift_metrics_grouped").collect():
+            if r.gated_reason == "unknown_group":
+                assert unk.n == r.n  # same row-count semantics, 2 cols
+                continue
+            m = got[(r.provider, c)]
+            for f in ("n", "batch_mean", "js", "psi", "ks_d", "t_stat",
+                      "drift_score"):
+                assert m[f] == pytest.approx(r[f], abs=1e-12), (c, f)
+            assert m.drift_detected == r.drift_detected
+            assert m.gated == r.gated
+
+
+def test_multi_grouped_profile_save_load_and_empty_cell_refusal(
+    spark, tmp_path
+):
+    from llm_drift_detector_spark.streaming import (
+        load_profile,
+        reference_profile_multi_grouped,
+        save_profile,
+    )
+
+    ref = spark.createDataFrame(_grows(["a", "b"], 50), GDDL)
+    mg = reference_profile_multi_grouped(ref, ["provider"], ["fa", "fb"])
+    path = str(tmp_path / "mg.json")
+    save_profile(mg, path)
+    assert load_profile(path) == mg
+
+    # group b's fb entirely null in the reference -> loud refusal
+    import pyspark.sql.functions as F
+
+    holey = ref.withColumn(
+        "fb", F.when(F.col("provider") == "b", None).otherwise(F.col("fb"))
+    )
+    with pytest.raises(ValueError, match="fb"):
+        reference_profile_multi_grouped(holey, ["provider"], ["fa", "fb"])
+
+
+def test_multi_grouped_empty_batch_and_gating(spark, tmp_path):
+    from llm_drift_detector_spark.streaming import (
+        reference_profile_multi_grouped,
+        stream_drift_multi_grouped,
+    )
+
+    ref = spark.createDataFrame(_grows(["a"], 60), GDDL)
+    mg = reference_profile_multi_grouped(ref, ["provider"], ["fa", "fb"])
+    src, out = str(tmp_path / "src"), str(tmp_path / "out")
+
+    # all-null batch -> empty_batch placeholder claims the epoch
+    spark.createDataFrame([("a", None, None)], GDDL).coalesce(
+        1
+    ).write.parquet(f"{src}/b0")
+    stream_drift_multi_grouped(spark, src + "/b*", mg, out, schema=GDDL)
+    rows = spark.read.parquet(f"{out}/drift_metrics_multi_grouped").collect()
+    assert len(rows) == 1 and rows[0].gated_reason == "empty_batch"
+
+    # tiny known-group batch -> both cells gate on min_samples
+    spark.createDataFrame(_grows(["a"], 3), GDDL).coalesce(1).write.parquet(
+        f"{src}/b1"
+    )
+    stream_drift_multi_grouped(spark, src + "/b*", mg, out, schema=GDDL)
+    by_epoch = {}
+    for r in spark.read.parquet(f"{out}/drift_metrics_multi_grouped").collect():
+        by_epoch.setdefault(int(r.epoch), []).append(r)
+    assert len(by_epoch) == 2
+    gated = by_epoch[max(by_epoch)]
+    assert {(r.provider, r.column) for r in gated} == {("a", "fa"), ("a", "fb")}
+    assert all(r.gated_reason == "min_samples" and r.n == 3 for r in gated)
