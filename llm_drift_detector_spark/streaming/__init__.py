@@ -25,5 +25,6 @@ from .text_stream import (  # noqa: F401
     stream_text_drift_grouped,
     text_reference_profile,
     text_reference_profile_grouped,
+    update_text_reference_profile,
 )
 from .validate_stream import stream_validate, windowed_violation_counts  # noqa: F401

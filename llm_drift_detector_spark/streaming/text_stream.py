@@ -112,6 +112,12 @@ def text_reference_profile(
         .m
         or 0.0
     )
+    n_sent = int(
+        ref.where(F.col(column).isNotNull())
+        .select(F.explode(F.split(F.col(column), r"\.")).alias("s"))
+        .where(F.trim("s") != "")
+        .count()
+    )
     profile = {
         "kind": "text",
         "column": column,
@@ -119,6 +125,9 @@ def text_reference_profile(
         "vocab": vocab,
         "total_tokens": int(sum(vocab.values())),
         "style": {k: float(v) for k, v in style.items()},
+        # sentence COUNT alongside the style row's avg: the pair makes
+        # avg_sentence_len exactly mergeable in the incremental update
+        "n_sentences": n_sent,
         "ref_mean_perplexity": mean_ppl,
     }
     if topic_column is not None:
@@ -135,7 +144,169 @@ def text_reference_profile(
         profile["topic_column"] = topic_column
         # JSON object keys are strings; topic ids stay ints in memory
         profile["topics"] = {str(int(r.topic)): r.cnt / tot for r in counts}
+        profile["topics_n"] = int(tot if counts else 0)
     return profile
+
+
+def update_text_reference_profile(
+    profile: dict,
+    new_data: DataFrame,
+    lm_divergence_threshold: float = 0.1,
+) -> dict:
+    """Incrementally fold ``new_data`` into a frozen text profile.
+
+    The mergeable components merge EXACTLY (test-asserted against a
+    from-scratch rebuild on the concatenated windows):
+
+    - vocab term counts — plain addition (this IS the C11 Laplace LM);
+    - style row — avg_word_len / token_count / unique_token_count /
+      diversity re-derived from the merged vocab; avg_sentence_len from
+      the stored (avg, ``n_sentences``) pair plus one sentence pass
+      over the new docs;
+    - topic distribution — probs un-normalized via ``topics_n``, new
+      counts added, renormalized.
+
+    ``ref_mean_perplexity`` is NOT exactly mergeable: each old doc's
+    perplexity depends on every token's count in the window's OWN LM,
+    and the old docs are gone — recovering their scores under the
+    merged LM would need the per-(doc, token) matrix, i.e. the corpus.
+    The update therefore scores the NEW docs under the MERGED LM (one
+    broadcast-join pass, the stream's frozen-LM formula) and mixes
+    doc-count-weighted with the stored mean, and — mirroring the
+    distribution profile's ``needs_rebin`` contract — reports how far
+    the LM itself moved: ``ppl_lm_divergence`` (Jensen-Shannon between
+    the old and merged unigram distributions, O(|vocab|) driver math)
+    with ``needs_ppl_rescore=True`` above ``lm_divergence_threshold``,
+    telling the caller the stored component of the mean is stale and a
+    full re-freeze is due at the next maintenance window.  When the new
+    window matches the old distribution the divergence is ~0 and the
+    mix converges to the true value (test-asserted).
+
+    Profiles frozen before this version lack ``n_sentences`` — the
+    update refuses them (re-freeze once with the current builder).
+    Returns a drop-in :func:`stream_text_drift` profile.
+    """
+    if "n_sentences" not in profile:
+        raise ValueError(
+            "profile lacks n_sentences (frozen by an older builder) — "
+            "re-freeze once with text_reference_profile to enable "
+            "incremental updates"
+        )
+    column = profile["column"]
+    topic_column = profile.get("topic_column")
+    base = new_data.where(F.col(column).isNotNull())
+
+    new_vocab_rows = (
+        _tokens(new_data, column)
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    )
+    n_new = base.count()
+    if n_new == 0:
+        return dict(profile)
+    sent = base.select(
+        F.explode(F.split(F.col(column), r"\.")).alias("s")
+    ).where(F.trim("s") != "")
+    srow = sent.agg(
+        F.count("*").alias("n_sent"),
+        F.coalesce(
+            F.sum(
+                F.size(F.filter(F.split(F.col("s"), r"\s+"), lambda x: x != ""))
+            ),
+            F.lit(0),
+        ).alias("len_sum"),
+    ).collect()[0]
+
+    merged_vocab = dict(profile["vocab"])
+    for r in new_vocab_rows:
+        merged_vocab[r.token] = merged_vocab.get(r.token, 0) + int(r.cnt)
+    total = sum(merged_vocab.values())
+
+    # style: token-side stats are pure functions of the merged vocab
+    tc = max(total, 1)
+    awl = sum(len(t) * c for t, c in merged_vocab.items()) / tc
+    old_sent_sum = (
+        profile["style"]["avg_sentence_len"] * profile["n_sentences"]
+    )
+    n_sent = profile["n_sentences"] + int(srow.n_sent)
+    asl = (old_sent_sum + float(srow.len_sum)) / n_sent if n_sent else 0.0
+    style = {
+        "avg_sentence_len": float(asl),
+        "avg_word_len": float(awl),
+        "token_count": float(total),
+        "unique_token_count": float(len(merged_vocab)),
+        "diversity": float(len(merged_vocab) / tc),
+    }
+
+    # LM movement: JS between old and merged unigram distributions
+    old_total = max(profile["total_tokens"], 1)
+    js = 0.0
+    for t, mc in merged_vocab.items():
+        pr = profile["vocab"].get(t, 0) / old_total
+        pm = mc / tc
+        m = (pr + pm) / 2
+        if pr > 0:
+            js += 0.5 * pr * math.log(pr / m + 1e-10)
+        if pm > 0:
+            js += 0.5 * pm * math.log(pm / m + 1e-10)
+
+    # new docs scored under the MERGED LM (the stream's frozen-LM
+    # formula: Laplace floor for unknowns, denom = T + |V|)
+    denom = float(total + max(len(merged_vocab), 1))
+    frozen = new_data.sparkSession.createDataFrame(
+        list(merged_vocab.items()), "token string, cr bigint"
+    ).where(F.col("token") != "")
+    new_mean_ppl = float(
+        _tokens(new_data, column)
+        .join(F.broadcast(frozen), "token", "left")
+        .select(
+            "_doc",
+            F.log(
+                (F.coalesce(F.col("cr"), F.lit(0)) + 1.0) / F.lit(denom)
+            ).alias("logp"),
+        )
+        .groupBy("_doc")
+        .agg(F.exp(-F.avg("logp")).alias("ppl"))
+        .agg(F.coalesce(F.avg("ppl"), F.lit(0.0)).alias("m"))
+        .collect()[0]
+        .m
+    )
+    n_old = profile["n"]
+    mean_ppl = (
+        n_old * profile["ref_mean_perplexity"] + n_new * new_mean_ppl
+    ) / (n_old + n_new)
+
+    merged = {
+        **profile,
+        "n": int(n_old + n_new),
+        "vocab": merged_vocab,
+        "total_tokens": int(total),
+        "style": style,
+        "n_sentences": int(n_sent),
+        "ref_mean_perplexity": float(mean_ppl),
+        "ppl_lm_divergence": float(js),
+        "needs_ppl_rescore": bool(js > lm_divergence_threshold),
+    }
+    if topic_column is not None:
+        tdf = base.where(
+            F.col(topic_column).isNotNull() & (F.size(F.col(topic_column)) > 0)
+        )
+        counts = (
+            assign_topics(tdf, topic_column)
+            .groupBy("topic")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        )
+        old_n = profile.get("topics_n", 0)
+        acc = {k: p * old_n for k, p in profile["topics"].items()}
+        for r in counts:
+            k = str(int(r.topic))
+            acc[k] = acc.get(k, 0.0) + int(r.cnt)
+        tot = sum(acc.values()) or 1.0
+        merged["topics"] = {k: v / tot for k, v in acc.items()}
+        merged["topics_n"] = int(old_n + sum(int(r.cnt) for r in counts))
+    return merged
 
 
 def _norm_diff(a: float, b: float) -> float:

@@ -1,0 +1,123 @@
+"""Incremental text-profile update: vocab/style/topics merge EXACTLY
+(merged == from-scratch on the concatenated windows); the own-LM mean
+perplexity is provably non-mergeable, so the update mixes new-doc
+scores under the merged LM and flags LM staleness explicitly."""
+
+import pytest
+
+from tests.test_text_stream import A_VOCAB, B_VOCAB, _docs
+
+
+def _edocs(vocab, hot_dims, n):
+    out = []
+    for i in range(n):
+        v = [0.1] * 8
+        v[hot_dims[i % len(hot_dims)]] = 1.0
+        doc = " ".join(vocab[(i * 5 + j) % len(vocab)] for j in range(10))
+        out.append((doc + ". tail words.", v))
+    return out
+
+
+DDL = "transcript string, embedding array<float>"
+
+
+def test_merged_equals_from_scratch_for_mergeable_parts(spark):
+    from llm_drift_detector_spark.streaming import (
+        text_reference_profile,
+        update_text_reference_profile,
+    )
+
+    a = spark.createDataFrame(_edocs(A_VOCAB, [0, 1], 120), DDL)
+    b = spark.createDataFrame(_edocs(A_VOCAB[:4] + B_VOCAB[:4], [2, 3], 70), DDL)
+    both = a.unionAll(b)
+
+    merged = update_text_reference_profile(
+        text_reference_profile(a, "transcript", topic_column="embedding"), b
+    )
+    scratch = text_reference_profile(both, "transcript", topic_column="embedding")
+
+    assert merged["n"] == scratch["n"] == 190
+    assert merged["vocab"] == scratch["vocab"]
+    assert merged["total_tokens"] == scratch["total_tokens"]
+    assert merged["n_sentences"] == scratch["n_sentences"]
+    for k in scratch["style"]:
+        assert merged["style"][k] == pytest.approx(scratch["style"][k]), k
+    assert merged["topics_n"] == scratch["topics_n"]
+    for k in scratch["topics"]:
+        assert merged["topics"][k] == pytest.approx(scratch["topics"][k]), k
+    # associativity: fold b in two halves == fold b at once
+    b1 = spark.createDataFrame(_edocs(A_VOCAB[:4] + B_VOCAB[:4], [2, 3], 35), DDL)
+    # second half must be the REMAINING docs; regenerate deterministically
+    rows = _edocs(A_VOCAB[:4] + B_VOCAB[:4], [2, 3], 70)[35:]
+    b2 = spark.createDataFrame(rows, DDL)
+    two_step = update_text_reference_profile(
+        update_text_reference_profile(
+            text_reference_profile(a, "transcript", topic_column="embedding"), b1
+        ),
+        b2,
+    )
+    assert two_step["vocab"] == merged["vocab"]
+    assert two_step["n"] == merged["n"]
+
+
+def test_ppl_mix_converges_same_distribution_flags_shift(spark):
+    from llm_drift_detector_spark.streaming import (
+        text_reference_profile,
+        update_text_reference_profile,
+    )
+
+    a = spark.createDataFrame(_docs(A_VOCAB, 150), "transcript string")
+    prof = text_reference_profile(a, "transcript")
+
+    # same-distribution fold: LM barely moves, mixed mean ~= truth
+    same = spark.createDataFrame(_docs(A_VOCAB, 150), "transcript string")
+    m1 = update_text_reference_profile(prof, same)
+    scratch = text_reference_profile(a.unionAll(same), "transcript")
+    assert m1["ppl_lm_divergence"] < 1e-6
+    assert not m1["needs_ppl_rescore"]
+    assert m1["ref_mean_perplexity"] == pytest.approx(
+        scratch["ref_mean_perplexity"], rel=0.05
+    )
+
+    # disjoint-vocab fold: LM moved, stored component is stale -> flag
+    shift = spark.createDataFrame(_docs(B_VOCAB, 150), "transcript string")
+    m2 = update_text_reference_profile(prof, shift)
+    assert m2["ppl_lm_divergence"] > 0.1 and m2["needs_ppl_rescore"]
+
+
+def test_update_refuses_old_profile_and_is_dropin_for_stream(spark, tmp_path):
+    from llm_drift_detector_spark.streaming import (
+        load_profile,
+        save_profile,
+        stream_text_drift,
+        text_reference_profile,
+        update_text_reference_profile,
+    )
+
+    a = spark.createDataFrame(_docs(A_VOCAB, 80), "transcript string")
+    prof = text_reference_profile(a, "transcript")
+
+    legacy = {k: v for k, v in prof.items() if k != "n_sentences"}
+    with pytest.raises(ValueError, match="n_sentences"):
+        update_text_reference_profile(legacy, a)
+
+    # empty fold is a no-op
+    empty = spark.createDataFrame([(None,)], "transcript string")
+    assert update_text_reference_profile(prof, empty) == dict(prof)
+
+    # merged profile hot-swaps into the stream (and JSON round-trips)
+    merged = update_text_reference_profile(
+        prof, spark.createDataFrame(_docs(A_VOCAB, 40), "transcript string")
+    )
+    path = str(tmp_path / "m.json")
+    save_profile(merged, path)
+    assert load_profile(path) == merged
+    src, out = str(tmp_path / "src"), str(tmp_path / "out")
+    spark.createDataFrame(_docs(B_VOCAB, 50), "transcript string").coalesce(
+        1
+    ).write.parquet(f"{src}/b0")
+    stream_text_drift(
+        spark, src + "/b*", merged, out, schema="transcript string"
+    )
+    r = spark.read.parquet(f"{out}/text_metrics").collect()[0]
+    assert r.drift_detected and r.n == 50  # disjoint traffic still flags
