@@ -61,9 +61,10 @@ local[32], 16 micro-batches): distribution drift 26.1k rows/sec (p50
 trigger 1.2 s), fused 4-column drift 21.0k rows/sec = 84k
 column-rows/sec (1.23x one stream's wall for four features),
 embedding drift 20.2k rows/sec (p50 1.8 s), full
-8-check validation 7.9k clips/sec (p50 4.3 s — per-batch re-joins
-against transcripts/reference are the documented cost of batch-local
-streaming validation), bloom payload dedup 19.3k rows/sec with a
+8-check validation 9.4k clips/sec (static sides frozen + persisted at
+stream start — the transcripts projection and a 16-byte/row reference
+hash frame — so triggers stop re-hashing every reference payload),
+bloom payload dedup 19.3k rows/sec with a
 constant 123 MB state footprint.  Full table in BENCH/BASELINE.md.
 """
 

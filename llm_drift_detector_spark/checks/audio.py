@@ -305,6 +305,7 @@ def audio_invariant_violations(
     salt: int = 0,
     snr_mode: str = "hash_shortcut",
     max_fetch_ids: int = 1_000,
+    reference_hashes: DataFrame | None = None,
 ) -> DataFrame:
     """Violation rows (clip_id, check_name, detail) from the decode checks.
 
@@ -322,6 +323,16 @@ def audio_invariant_violations(
       be re-encoded (decoder versions, lossy re-encodes) so byte
       equality does not imply PCM equality.  CPU-bound by design; this
       is the mode the scaling bench exercises.
+
+    ``reference_hashes`` (optional): a precomputed
+    ``(clip_id, rh = xxhash64(bytes))`` frame replacing the internal
+    hash pass over the reference payloads.  A caller that validates
+    MANY slices against ONE reference window (the streaming monitor:
+    one micro-batch per trigger, same reference every time) computes
+    and persists it once — ~16 bytes/row vs re-hashing every payload
+    per slice.  Only the hash_shortcut candidate join consumes it; the
+    targeted payload fetch still goes to ``reference`` (pruned by the
+    pushed-down id filter).
     """
     cur = clips.select("clip_id", "bytes", "sr_hz", "dur_ms", "codec")
 
@@ -388,8 +399,10 @@ def audio_invariant_violations(
     ch = cur.select(
         "clip_id", "codec", F.xxhash64("bytes").alias("h")
     )
-    rh = reference.select(
-        "clip_id", F.xxhash64("bytes").alias("rh")
+    rh = (
+        reference_hashes
+        if reference_hashes is not None
+        else reference.select("clip_id", F.xxhash64("bytes").alias("rh"))
     )
     differing_ids = (
         ch.join(rh, "clip_id", "inner")

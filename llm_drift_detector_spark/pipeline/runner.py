@@ -110,6 +110,7 @@ def violations_frame(
     reference: DataFrame,
     cfg: RunConfig | None = None,
     include_global: bool = True,
+    reference_hashes: DataFrame | None = None,
 ) -> DataFrame:
     """All violation rows for the full input — the single-job variant
     (bench + ad-hoc use; the checkpointed path goes through
@@ -124,7 +125,9 @@ def violations_frame(
     per-bucket global checks are complete)."""
     cfg = cfg or RunConfig(run_id="adhoc", out_dir="/tmp/adhoc")
     return _violations_for_group(
-        clips, transcripts, reference, cfg, include_global=include_global
+        clips, transcripts, reference, cfg,
+        include_global=include_global,
+        reference_hashes=reference_hashes,
     )
 
 
@@ -156,6 +159,7 @@ def _violations_for_group(
     cfg: RunConfig,
     include_global: bool = True,
     full_view: bool = True,
+    reference_hashes: DataFrame | None = None,
 ) -> DataFrame:
     """All violation rows for one bucket group, in FIXTURES §4 shape
     minus run_id (added by the writer).  Buckets are closed under
@@ -207,7 +211,8 @@ def _violations_for_group(
     if audio_checks:  # skip the decode stage entirely when both are off
         parts.append(
             audio_invariant_violations(
-                clips_g, reference_g, salt=cfg.salt, snr_mode=cfg.snr_mode
+                clips_g, reference_g, salt=cfg.salt, snr_mode=cfg.snr_mode,
+                reference_hashes=reference_hashes,
             )
             .where(F.col("check_name").isin(audio_checks))
             .select(

@@ -57,7 +57,21 @@ def stream_validate(
 
     ``cfg`` customizes check selection — every check that survives the
     batch-local subset is streaming-safe, including the opt-in
-    ``audio_quality`` gate (its verdict is per-row)."""
+    ``audio_quality`` gate (its verdict is per-row).
+
+    The static sides are FROZEN AT STREAM START and persisted pruned:
+    without this, every micro-batch re-scans the transcripts table and
+    re-hashes EVERY reference payload (the SNR candidate join computes
+    xxhash64(bytes) over the whole reference window per trigger) — the
+    measured majority of the drain cost.  What persists is tiny: the
+    (clip_id, transcript) projection and a ~16-byte/row hash frame —
+    never reference payloads.  Freezing matches the drift streams'
+    frozen-profile contract (the comparison target must not drift with
+    the current data); at 10^12 rows, persist the hash frame to a table
+    once instead of caching (same seam: ``reference_hashes``).  In
+    AvailableNow mode both are unpersisted after the drain; a
+    continuous stream keeps them pinned for its lifetime.
+    """
     reader = spark.readStream.schema(CLIPS_DDL)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -66,6 +80,17 @@ def stream_validate(
     checkpoint = os.path.join(out_dir, "_stream_checkpoint")
     cfg = cfg or RunConfig(run_id=run_id, out_dir=out_dir)
 
+    t_static = transcripts.select("clip_id", "transcript").persist()
+    t_static.count()
+    ref_hashes = None
+    if cfg.snr_mode != "deep" and (
+        cfg.check_active("dur_ms_mismatch") or cfg.check_active("snr_allclose")
+    ):
+        ref_hashes = reference.select(
+            "clip_id", F.xxhash64("bytes").alias("rh")
+        ).persist()
+        ref_hashes.count()
+
     def process(batch_df: DataFrame, epoch_id: int) -> None:
         # include_global=False: a micro-batch is a PARTIAL view of clips,
         # so transcript-orphan would flag every transcript whose clip is
@@ -73,7 +98,10 @@ def stream_validate(
         # Those two stay with the bucket-checkpointed batch runner (or
         # the stateful path, streaming/stateful.py).
         (
-            violations_frame(batch_df, transcripts, reference, cfg, include_global=False)
+            violations_frame(
+                batch_df, t_static, reference, cfg,
+                include_global=False, reference_hashes=ref_hashes,
+            )
             .withColumn("run_id", F.lit(run_id))
             .withColumn("epoch", F.lit(epoch_id))
             .write.mode("append")
@@ -88,6 +116,9 @@ def stream_validate(
     q = writer.start()
     if available_now:
         q.awaitTermination()
+        t_static.unpersist()
+        if ref_hashes is not None:
+            ref_hashes.unpersist()
     return q
 
 
