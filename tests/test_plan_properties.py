@@ -98,3 +98,53 @@ def test_wav_native_dur_path_is_python_free(spark, sf_dir):
     for bad in ("EvalPython", "InPandas", "MapInArrow"):
         assert bad not in plan
     assert "Batched: true" in plan and "*(1)" in plan
+
+
+def test_multi_drift_fused_aggregate_partials_before_exchange(spark):
+    """The multi-column drift aggregate (streaming per-batch job and
+    profile binned pass) must stay Python-free and partially aggregate
+    BEFORE its exchange — the explode multiplies rows by N columns, and
+    only map-side combine keeps the shuffle at O(N x nbins x psi_nbins)
+    per task instead of O(rows x N)."""
+    from llm_drift_detector_spark.streaming.drift_stream import (
+        _clamped_bin,
+        _psi_bucket,
+        reference_profile_multi,
+    )
+
+    rows = [(float(1000 + (i % 13)), float(50 + (i * 3) % 29)) for i in range(300)]
+    ref = spark.createDataFrame(rows, "fa double, fb double")
+    prof = reference_profile_multi(ref, ["fa", "fb"])
+
+    cols = ["fa", "fb"]
+    base = ref.select(
+        *[F.col(c).cast("double").alias(f"v{i}") for i, c in enumerate(cols)]
+    )
+    structs = []
+    for i, c in enumerate(cols):
+        p = prof["column_profiles"][c]
+        v = F.col(f"v{i}")
+        structs.append(
+            F.when(
+                v.isNotNull(),
+                F.struct(
+                    F.lit(i).alias("ci"),
+                    _clamped_bin(v, p["mn"], p["width"], p["nbins"]).alias("jb"),
+                    _psi_bucket(v, p["edges"]).alias("pb"),
+                    v.alias("v"),
+                ),
+            )
+        )
+    agg = (
+        base.select(
+            F.explode(F.filter(F.array(*structs), lambda x: x.isNotNull())).alias("x")
+        )
+        .select("x.ci", "x.jb", "x.pb", "x.v")
+        .groupBy("ci", "jb", "pb")
+        .agg(F.count("*").alias("c"), F.sum("v").alias("s"))
+    )
+    plan = _plan(agg)
+    assert "Python" not in plan  # no BatchEvalPython / ArrowEval anywhere
+    # a partial aggregate must appear BELOW the exchange
+    pre_exchange = plan.split("Exchange hashpartitioning", 1)[1]
+    assert "partial_count" in pre_exchange and "partial_sum" in pre_exchange
