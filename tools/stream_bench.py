@@ -143,6 +143,31 @@ def main() -> None:
         ),
     }
 
+    # ---- 1c. full G x N matrix stream (groups x columns) -------------
+    from llm_drift_detector_spark.streaming import (
+        reference_profile_multi_grouped,
+        stream_drift_multi_grouped,
+    )
+
+    mgprof = reference_profile_multi_grouped(ref, ["codec"], mcols)
+    n_groups = len(mgprof["profiles"])
+    t0 = time.time()
+    q = stream_drift_multi_grouped(
+        spark, clips_dir, mgprof, f"{scratch}/mgdrift", schema=CLIPS_DDL,
+        max_files_per_trigger=files_per_trigger,
+    )
+    wall = time.time() - t0
+    st = _trigger_stats(_progress_list(q))
+    results["stream_drift_multi_grouped"] = {
+        **st, "wall_s": round(wall, 2),
+        "rows_per_sec": int(st["rows"] / wall) if wall else 0,
+        "columns": len(mcols),
+        "groups": n_groups,
+        "cell_rows_per_sec": (
+            int(len(mcols) * st["rows"] / wall) if wall else 0
+        ),
+    }
+
     # ---- 2. embedding drift stream (transcripts backlog) -------------
     eprof = embedding_reference_profile(tr_ref, "embedding")
     t0 = time.time()
