@@ -10,6 +10,7 @@ from .drift_stream import (  # noqa: F401
     stream_drift_multi,
     stream_drift_multi_grouped,
     update_reference_profile,
+    update_reference_profile_grouped,
     update_reference_profile_multi,
 )
 from .embedding_stream import (  # noqa: F401
@@ -18,6 +19,7 @@ from .embedding_stream import (  # noqa: F401
     stream_embedding_drift,
     stream_embedding_drift_grouped,
     update_embedding_reference_profile,
+    update_embedding_reference_profile_grouped,
 )
 from .stateful import running_drift_state, streaming_duplicate_clips  # noqa: F401
 from .text_stream import (  # noqa: F401

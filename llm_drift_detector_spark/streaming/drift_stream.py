@@ -214,6 +214,109 @@ def update_reference_profile(
     }
 
 
+def update_reference_profile_grouped(
+    profile: dict,
+    new_data: DataFrame,
+    rebin_rel_threshold: float = 0.25,
+) -> dict:
+    """Fold ``new_data`` into EVERY group of a grouped profile — one
+    fused job (broadcast geometry join + grouped bin/moment aggregate,
+    the stream's per-batch shape with min/max added), then the exact
+    per-group Chan merge :func:`update_reference_profile` applies.
+
+    Rows whose group has no frozen profile are NOT folded — their
+    geometry doesn't exist, and inventing one mid-update would corrupt
+    the drift contract.  They are COUNTED and reported
+    (``unknown_rows`` on the merged dict): a persistent non-zero count
+    means a new provider appeared and the caller should schedule a full
+    re-freeze, the same decision ``needs_rebin`` signals per group.
+    Per-group results equal running the single-group update on each
+    slice (test-asserted).
+    """
+    column = profile["column"]
+    keys = profile["keys"]
+    nbins, psi_nbins = profile["nbins"], profile["psi_nbins"]
+    profiles = profile["profiles"]
+    v = F.col(column).cast("double")
+    base = new_data.where(v.isNotNull()).select(
+        *[F.col(k).cast("string").alias(k) for k in keys], v.alias("v")
+    )
+    pframe = _profiles_frame(new_data.sparkSession, keys, profiles)
+    rows = (
+        base.join(F.broadcast(pframe), keys, "left")
+        .groupBy(
+            *keys,
+            _grouped_js_bin(nbins).alias("jb"),
+            _grouped_psi_bucket().alias("pb"),
+        )
+        .agg(
+            F.count("*").alias("c"),
+            F.sum("v").alias("s"),
+            F.sum(F.col("v") * F.col("v")).alias("ss"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+        .collect()
+    )
+    acc: dict[tuple, dict] = {}
+    unknown_rows = 0
+    for r in rows:
+        g = tuple(r[k] for k in keys)
+        if g not in profiles:
+            unknown_rows += int(r.c)
+            continue
+        a = acc.setdefault(
+            g,
+            {
+                "js": np.zeros(nbins), "psi": np.zeros(psi_nbins),
+                "n": 0, "s": 0.0, "ss": 0.0,
+                "mn": math.inf, "mx": -math.inf,
+            },
+        )
+        a["js"][int(r.jb)] += r.c
+        a["psi"][int(r.pb)] += r.c
+        a["n"] += r.c
+        a["s"] += r.s
+        a["ss"] += r.ss
+        a["mn"] = min(a["mn"], r.mn)
+        a["mx"] = max(a["mx"], r.mx)
+
+    merged: dict[tuple, dict] = {}
+    for g, p in profiles.items():
+        a = acc.get(g)
+        if a is None or a["n"] == 0:
+            merged[g] = dict(p)
+            continue
+        js_c = np.asarray(p["js_counts"], dtype=np.float64)
+        psi_c = np.asarray(p["psi_counts"], dtype=np.float64)
+        n2 = a["n"]
+        n1, m1 = p["n"], p["mean"]
+        m2_1 = p["var"] * (n1 - 1) if n1 > 1 else 0.0
+        mean2 = a["s"] / n2
+        m2_2 = a["ss"] - n2 * mean2 * mean2
+        n = n1 + n2
+        delta = mean2 - m1
+        mean = m1 + delta * n2 / n
+        m2 = m2_1 + m2_2 + delta * delta * n1 * n2 / n
+        var = m2 / (n - 1) if n > 1 else 0.0
+        data_mn = min(p.get("data_mn", p["mn"]), a["mn"])
+        data_mx = max(p.get("data_mx", p["mx"]), a["mx"])
+        span = max(p["mx"] - p["mn"], 1e-300)
+        range_excess = max(p["mn"] - data_mn, data_mx - p["mx"]) / span
+        merged[g] = {
+            **p,
+            "n": int(n),
+            "mean": float(mean),
+            "var": float(var),
+            "js_counts": (js_c + a["js"]).tolist(),
+            "psi_counts": (psi_c + a["psi"]).tolist(),
+            "data_mn": float(data_mn),
+            "data_mx": float(data_mx),
+            "needs_rebin": bool(range_excess > rebin_rel_threshold),
+        }
+    return {**profile, "profiles": merged, "unknown_rows": int(unknown_rows)}
+
+
 def _clamped_bin(v, mn: float, width: float, nbins: int):
     """Equal-width bin against the FROZEN range; out-of-range values
     clamp into the edge bins."""

@@ -206,6 +206,95 @@ def update_embedding_reference_profile(
     }
 
 
+def update_embedding_reference_profile_grouped(
+    profile: dict, new_data: DataFrame
+) -> dict:
+    """Fold ``new_data`` into EVERY group of a grouped embedding
+    profile — one grouped aggregate (count + dim guard + squared norms
+    + per-dim sums; d > ``CENTROID_EXPLODE_DIM`` adds the documented
+    grouped posexplode job), then the exact per-group centroid/rms
+    merge :func:`update_embedding_reference_profile` applies.
+
+    Rows whose group has no frozen profile are counted and reported
+    (``unknown_rows``), never folded — same contract as
+    :func:`~.drift_stream.update_reference_profile_grouped`; rows
+    whose array length differs from the frozen ``dim`` are rejected
+    loudly like the global update.  Per-group results equal the
+    single-group update on each slice (test-asserted).
+    """
+    column = profile["column"]
+    keys = profile["keys"]
+    dim = profile["dim"]
+    profiles = profile["profiles"]
+    base = _valid(new_data, column).select(
+        *[F.col(k).cast("string").alias(k) for k in keys],
+        F.col(column).alias("e"),
+    )
+    aggs = [
+        F.count("*").alias("n"),
+        F.sum((F.size("e") != dim).cast("bigint")).alias("bad_n"),
+        F.sum(_sq_norm_col("e")).alias("ssq"),
+    ]
+    if dim <= CENTROID_EXPLODE_DIM:
+        aggs += [
+            F.sum(F.try_element_at(F.col("e"), F.lit(i + 1)).cast("double")).alias(
+                f"s_{i}"
+            )
+            for i in range(dim)
+        ]
+    st = base.groupBy(*keys).agg(*aggs).collect()
+    bad = sum(int(r.bad_n) for r in st)
+    if bad:
+        raise ValueError(
+            f"{bad} new {column} rows have array length != frozen "
+            f"profile dim {dim} — refusing to merge mismatched embeddings"
+        )
+    by_group: dict[tuple, dict] = {}
+    unknown_rows = 0
+    for r in st:
+        g = tuple(r[k] for k in keys)
+        if g not in profiles:
+            unknown_rows += int(r.n)
+            continue
+        by_group[g] = {"n": int(r.n), "ssq": float(r.ssq or 0.0)}
+        if dim <= CENTROID_EXPLODE_DIM:
+            by_group[g]["sums"] = np.array(
+                [r[f"s_{i}"] or 0.0 for i in range(dim)], dtype=np.float64
+            )
+    if dim > CENTROID_EXPLODE_DIM:
+        for g in by_group:
+            by_group[g]["sums"] = np.zeros(dim)
+        for r in (
+            base.select(*keys, F.posexplode("e").alias("pos", "x"))
+            .groupBy(*keys, "pos")
+            .agg(F.sum(F.col("x").cast("double")).alias("s"))
+            .collect()
+        ):
+            g = tuple(r[k] for k in keys)
+            if g in by_group:
+                by_group[g]["sums"][int(r.pos)] = float(r.s)
+
+    merged: dict[tuple, dict] = {}
+    for g, p in profiles.items():
+        a = by_group.get(g)
+        if a is None or a["n"] == 0:
+            merged[g] = dict(p)
+            continue
+        n1 = p["n"]
+        c1 = np.asarray(p["centroid"], dtype=np.float64)
+        n = n1 + a["n"]
+        c = (n1 * c1 + a["sums"]) / n
+        msq1 = p["ref_rms"] ** 2 + float(np.dot(c1, c1))
+        msq = (n1 * msq1 + a["ssq"]) / n
+        merged[g] = {
+            **p,
+            "n": int(n),
+            "centroid": [float(x) for x in c],
+            "ref_rms": math.sqrt(max(0.0, msq - float(np.dot(c, c)))),
+        }
+    return {**profile, "profiles": merged, "unknown_rows": int(unknown_rows)}
+
+
 def _batch_metrics(
     profile: dict,
     n: int,

@@ -1,0 +1,163 @@
+"""Grouped incremental profile updates (distribution + embedding):
+one fused job folds new data into every group; per-group results equal
+the single-group updates on each slice; unknown groups are counted,
+reported, and never folded."""
+
+import numpy as np
+import pytest
+import pyspark.sql.functions as F
+
+DDL = "provider string, x double"
+
+
+def _rows(groups, n, shift=0.0, shift_group=None):
+    out = []
+    for g in groups:
+        for i in range(n):
+            out.append(
+                (
+                    g,
+                    float(100 + (i * 7) % 31)
+                    + (50.0 if g == "b" else 0.0)
+                    + (shift if g == shift_group else 0.0),
+                )
+            )
+    return out
+
+
+def test_grouped_distribution_update_matches_per_group(spark):
+    from llm_drift_detector_spark.streaming import (
+        reference_profile,
+        reference_profile_grouped,
+        update_reference_profile,
+        update_reference_profile_grouped,
+    )
+
+    ref = spark.createDataFrame(_rows(["a", "b"], 100), DDL)
+    new = spark.createDataFrame(
+        _rows(["a", "b"], 60, shift=-500.0, shift_group="b")
+        + [("zzz", 1.0)] * 9,
+        DDL,
+    )
+    gprof = reference_profile_grouped(ref, ["provider"], "x")
+    merged = update_reference_profile_grouped(gprof, new)
+    assert merged["unknown_rows"] == 9
+    assert set(merged["profiles"]) == {("a",), ("b",)}
+
+    for g in ("a", "b"):
+        solo = update_reference_profile(
+            reference_profile(ref.where(F.col("provider") == g), "x"),
+            new.where(F.col("provider") == g),
+        )
+        got = merged["profiles"][(g,)]
+        assert got["n"] == solo["n"]
+        assert got["js_counts"] == solo["js_counts"]
+        assert got["psi_counts"] == solo["psi_counts"]
+        assert got["mean"] == pytest.approx(solo["mean"], rel=1e-12)
+        assert got["var"] == pytest.approx(solo["var"], rel=1e-12)
+        for k in ("data_mn", "data_mx", "needs_rebin"):
+            assert got.get(k) == solo.get(k), (g, k)
+    # only the shifted group's range moved enough to flag
+    assert merged["profiles"][("b",)]["needs_rebin"]
+    assert not merged["profiles"][("a",)]["needs_rebin"]
+
+    # all-unknown fold: profiles untouched, count reported
+    only_unknown = spark.createDataFrame([("qqq", 5.0)] * 4, DDL)
+    m2 = update_reference_profile_grouped(gprof, only_unknown)
+    assert m2["unknown_rows"] == 4
+    assert m2["profiles"] == gprof["profiles"]
+
+
+def _erows(groups, n, rot=None):
+    out = []
+    for g in groups:
+        for i in range(n):
+            v = [0.1] * 6
+            hot = (0 if g == "a" else 2) if g != rot else 5
+            v[hot] = 1.0 + (i % 3) * 0.1
+            out.append((g, v))
+    return out
+
+
+EDDL = "provider string, emb array<float>"
+
+
+def test_grouped_embedding_update_matches_per_group(spark):
+    from llm_drift_detector_spark.streaming import (
+        embedding_reference_profile,
+        embedding_reference_profile_grouped,
+        update_embedding_reference_profile,
+        update_embedding_reference_profile_grouped,
+    )
+
+    ref = spark.createDataFrame(_erows(["a", "b"], 80), EDDL)
+    new = spark.createDataFrame(
+        _erows(["a", "b"], 50, rot="b") + [("zzz", [1.0] * 6)] * 5, EDDL
+    )
+    gprof = embedding_reference_profile_grouped(ref, ["provider"], "emb")
+    merged = update_embedding_reference_profile_grouped(gprof, new)
+    assert merged["unknown_rows"] == 5
+
+    for g in ("a", "b"):
+        solo = update_embedding_reference_profile(
+            embedding_reference_profile(
+                ref.where(F.col("provider") == g), "emb"
+            ),
+            new.where(F.col("provider") == g),
+        )
+        got = merged["profiles"][(g,)]
+        assert got["n"] == solo["n"]
+        assert np.allclose(got["centroid"], solo["centroid"], atol=1e-12)
+        assert got["ref_rms"] == pytest.approx(solo["ref_rms"], rel=1e-9)
+
+    # merged == from-scratch on the concatenated KNOWN windows
+    both = ref.unionAll(new.where(F.col("provider") != "zzz"))
+    scratch = embedding_reference_profile_grouped(both, ["provider"], "emb")
+    for g in (("a",), ("b",)):
+        assert merged["profiles"][g]["n"] == scratch["profiles"][g]["n"]
+        assert np.allclose(
+            merged["profiles"][g]["centroid"],
+            scratch["profiles"][g]["centroid"],
+            atol=1e-9,
+        )
+        assert merged["profiles"][g]["ref_rms"] == pytest.approx(
+            scratch["profiles"][g]["ref_rms"], rel=1e-6
+        )
+
+    # dim mismatch rejected loudly
+    bad = spark.createDataFrame([("a", [1.0, 2.0])], EDDL)
+    with pytest.raises(ValueError, match="array length"):
+        update_embedding_reference_profile_grouped(gprof, bad)
+
+
+def test_grouped_updates_hot_swap_into_streams(spark, tmp_path):
+    """Merged grouped profiles are drop-ins: save/load round-trips and
+    the grouped streams accept them."""
+    from llm_drift_detector_spark.streaming import (
+        load_profile,
+        reference_profile_grouped,
+        save_profile,
+        stream_drift_grouped,
+        update_reference_profile_grouped,
+    )
+
+    ref = spark.createDataFrame(_rows(["a", "b"], 80), DDL)
+    gprof = reference_profile_grouped(ref, ["provider"], "x")
+    merged = update_reference_profile_grouped(
+        gprof, spark.createDataFrame(_rows(["a", "b"], 40), DDL)
+    )
+    path = str(tmp_path / "g.json")
+    save_profile(merged, path)
+    loaded = load_profile(path)
+    assert loaded["profiles"].keys() == merged["profiles"].keys()
+
+    src, out = str(tmp_path / "src"), str(tmp_path / "out")
+    spark.createDataFrame(
+        _rows(["a", "b"], 30, shift=900.0, shift_group="a"), DDL
+    ).coalesce(1).write.parquet(f"{src}/b0")
+    stream_drift_grouped(spark, src + "/b*", loaded, out, schema=DDL)
+    rows = {
+        r.provider: r
+        for r in spark.read.parquet(f"{out}/drift_metrics_grouped").collect()
+    }
+    assert rows["a"].drift_detected and not rows["b"].drift_detected
