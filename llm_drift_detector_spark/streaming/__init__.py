@@ -12,6 +12,7 @@ from .drift_stream import (  # noqa: F401
     update_reference_profile,
     update_reference_profile_grouped,
     update_reference_profile_multi,
+    update_reference_profile_multi_grouped,
 )
 from .embedding_stream import (  # noqa: F401
     embedding_reference_profile,

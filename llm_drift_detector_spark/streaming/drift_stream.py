@@ -284,36 +284,11 @@ def update_reference_profile_grouped(
     merged: dict[tuple, dict] = {}
     for g, p in profiles.items():
         a = acc.get(g)
-        if a is None or a["n"] == 0:
-            merged[g] = dict(p)
-            continue
-        js_c = np.asarray(p["js_counts"], dtype=np.float64)
-        psi_c = np.asarray(p["psi_counts"], dtype=np.float64)
-        n2 = a["n"]
-        n1, m1 = p["n"], p["mean"]
-        m2_1 = p["var"] * (n1 - 1) if n1 > 1 else 0.0
-        mean2 = a["s"] / n2
-        m2_2 = a["ss"] - n2 * mean2 * mean2
-        n = n1 + n2
-        delta = mean2 - m1
-        mean = m1 + delta * n2 / n
-        m2 = m2_1 + m2_2 + delta * delta * n1 * n2 / n
-        var = m2 / (n - 1) if n > 1 else 0.0
-        data_mn = min(p.get("data_mn", p["mn"]), a["mn"])
-        data_mx = max(p.get("data_mx", p["mx"]), a["mx"])
-        span = max(p["mx"] - p["mn"], 1e-300)
-        range_excess = max(p["mn"] - data_mn, data_mx - p["mx"]) / span
-        merged[g] = {
-            **p,
-            "n": int(n),
-            "mean": float(mean),
-            "var": float(var),
-            "js_counts": (js_c + a["js"]).tolist(),
-            "psi_counts": (psi_c + a["psi"]).tolist(),
-            "data_mn": float(data_mn),
-            "data_mx": float(data_mx),
-            "needs_rebin": bool(range_excess > rebin_rel_threshold),
-        }
+        merged[g] = (
+            dict(p)
+            if a is None or a["n"] == 0
+            else _merge_cell(p, a, rebin_rel_threshold)
+        )
     return {**profile, "profiles": merged, "unknown_rows": int(unknown_rows)}
 
 
@@ -1181,6 +1156,7 @@ def _multi_grouped_binned_rows(
     columns: list[str],
     nbins: int,
     with_moments: bool,
+    with_range: bool = False,
 ):
     """ONE fused job over a geometry-joined frame: rows of
     (keys..., ci, jb, pb, c[, s, ss]).  Rows whose group has no frozen
@@ -1232,7 +1208,102 @@ def _multi_grouped_binned_rows(
             F.sum("v").alias("s"),
             F.sum(F.col("v") * F.col("v")).alias("ss"),
         ]
+    if with_range:
+        aggs += [F.min("v").alias("mn"), F.max("v").alias("mx")]
     return exploded.groupBy(*keys, "ci", "jb", "pb").agg(*aggs).collect()
+
+
+def _merge_cell(p: dict, a: dict, rebin_rel_threshold: float) -> dict:
+    """Exact Chan moments merge + frozen-geometry bin adds for ONE
+    profile cell, from an accumulator {n, s, ss, mn, mx, js, psi} —
+    the shared arithmetic of every incremental distribution update."""
+    n2 = a["n"]
+    n1, m1 = p["n"], p["mean"]
+    m2_1 = p["var"] * (n1 - 1) if n1 > 1 else 0.0
+    mean2 = a["s"] / n2
+    m2_2 = a["ss"] - n2 * mean2 * mean2
+    n = n1 + n2
+    delta = mean2 - m1
+    mean = m1 + delta * n2 / n
+    m2 = m2_1 + m2_2 + delta * delta * n1 * n2 / n
+    var = m2 / (n - 1) if n > 1 else 0.0
+    data_mn = min(p.get("data_mn", p["mn"]), a["mn"])
+    data_mx = max(p.get("data_mx", p["mx"]), a["mx"])
+    span = max(p["mx"] - p["mn"], 1e-300)
+    range_excess = max(p["mn"] - data_mn, data_mx - p["mx"]) / span
+    return {
+        **p,
+        "n": int(n),
+        "mean": float(mean),
+        "var": float(var),
+        "js_counts": (
+            np.asarray(p["js_counts"], dtype=np.float64) + a["js"]
+        ).tolist(),
+        "psi_counts": (
+            np.asarray(p["psi_counts"], dtype=np.float64) + a["psi"]
+        ).tolist(),
+        "data_mn": float(data_mn),
+        "data_mx": float(data_mx),
+        "needs_rebin": bool(range_excess > rebin_rel_threshold),
+    }
+
+
+def update_reference_profile_multi_grouped(
+    profile: dict,
+    new_data: DataFrame,
+    rebin_rel_threshold: float = 0.25,
+) -> dict:
+    """Fold ``new_data`` into every (group, column) cell of a matrix
+    profile — ONE fused job (the matrix stream's per-batch aggregate
+    with range extras), then the exact per-cell Chan merge.  Unknown
+    groups are counted and reported (``unknown_rows``), never folded —
+    same contract as :func:`update_reference_profile_grouped`.
+    """
+    columns = profile["columns"]
+    keys = profile["keys"]
+    nbins, psi_nbins = profile["nbins"], profile["psi_nbins"]
+    profiles = profile["profiles"]
+    base = new_data.select(
+        *[F.col(k).cast("string").alias(k) for k in keys],
+        *[F.expr(c).cast("double").alias(f"v{i}") for i, c in enumerate(columns)],
+    )
+    gframe = _multi_geometry_frame(new_data.sparkSession, keys, columns, profiles)
+    acc: dict[tuple, dict] = {}
+    unknown_rows = 0
+    for r in _multi_grouped_binned_rows(
+        base.join(F.broadcast(gframe), keys, "left"),
+        keys, columns, nbins, with_moments=True, with_range=True,
+    ):
+        if int(r.ci) < 0:
+            unknown_rows += int(r.c)
+            continue
+        cell = (tuple(r[k] for k in keys), columns[int(r.ci)])
+        a = acc.setdefault(
+            cell,
+            {
+                "js": np.zeros(nbins), "psi": np.zeros(psi_nbins),
+                "n": 0, "s": 0.0, "ss": 0.0,
+                "mn": math.inf, "mx": -math.inf,
+            },
+        )
+        a["js"][int(r.jb)] += r.c
+        a["psi"][int(r.pb)] += r.c
+        a["n"] += r.c
+        a["s"] += r.s
+        a["ss"] += r.ss
+        a["mn"] = min(a["mn"], r.mn)
+        a["mx"] = max(a["mx"], r.mx)
+    merged: dict[tuple, dict] = {}
+    for g, cols in profiles.items():
+        merged[g] = {}
+        for c, p in cols.items():
+            a = acc.get((g, c))
+            merged[g][c] = (
+                dict(p)
+                if a is None or a["n"] == 0
+                else _merge_cell(p, a, rebin_rel_threshold)
+            )
+    return {**profile, "profiles": merged, "unknown_rows": int(unknown_rows)}
 
 
 def stream_drift_multi_grouped(

@@ -161,3 +161,99 @@ def test_grouped_updates_hot_swap_into_streams(spark, tmp_path):
         for r in spark.read.parquet(f"{out}/drift_metrics_grouped").collect()
     }
     assert rows["a"].drift_detected and not rows["b"].drift_detected
+
+
+def test_matrix_update_matches_per_group_multi(spark):
+    """update_reference_profile_multi_grouped == per-group
+    update_reference_profile_multi on each slice, exactly."""
+    from llm_drift_detector_spark.streaming import (
+        reference_profile_multi,
+        reference_profile_multi_grouped,
+        update_reference_profile_multi,
+        update_reference_profile_multi_grouped,
+    )
+
+    ddl = "provider string, fa double, fb double"
+
+    def rows(groups, n, fb_shift=0.0, sg=None):
+        return [
+            (
+                g,
+                float(100 + (i * 7) % 31),
+                float(50 + (i * 3) % 29) + (fb_shift if g == sg else 0.0),
+            )
+            for g in groups
+            for i in range(n)
+        ]
+
+    ref = spark.createDataFrame(rows(["a", "b"], 90), ddl)
+    new = spark.createDataFrame(
+        rows(["a", "b"], 50, fb_shift=-300.0, sg="b") + [("zzz", 1.0, 2.0)] * 3,
+        ddl,
+    )
+    mg = reference_profile_multi_grouped(ref, ["provider"], ["fa", "fb"])
+    merged = update_reference_profile_multi_grouped(mg, new)
+    assert merged["unknown_rows"] == 3
+
+    for g in ("a", "b"):
+        solo = update_reference_profile_multi(
+            reference_profile_multi(
+                ref.where(F.col("provider") == g), ["fa", "fb"]
+            ),
+            new.where(F.col("provider") == g),
+        )
+        for c in ("fa", "fb"):
+            got = merged["profiles"][(g,)][c]
+            want = solo["column_profiles"][c]
+            assert got["n"] == want["n"]
+            assert got["js_counts"] == want["js_counts"]
+            assert got["psi_counts"] == want["psi_counts"]
+            assert got["mean"] == pytest.approx(want["mean"], rel=1e-12)
+            assert got["var"] == pytest.approx(want["var"], rel=1e-12)
+            for k in ("data_mn", "data_mx", "needs_rebin"):
+                assert got.get(k) == want.get(k), (g, c, k)
+    assert merged["profiles"][("b",)]["fb"]["needs_rebin"]
+    assert not merged["profiles"][("a",)]["fb"]["needs_rebin"]
+
+
+def test_refresh_profiles_cli(spark, tmp_path, capsys):
+    """The maintenance CLI auto-detects the stored kind, folds the new
+    window, re-saves atomically, and surfaces the honesty flags."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    import refresh_profiles
+
+    from llm_drift_detector_spark.streaming import (
+        load_profile,
+        reference_profile_grouped,
+        save_profile,
+    )
+
+    ref = spark.createDataFrame(_rows(["a", "b"], 80), DDL)
+    new_dir = str(tmp_path / "new")
+    spark.createDataFrame(
+        _rows(["a", "b"], 40, shift=-900.0, shift_group="b")
+        + [("zzz", 1.0)] * 6,
+        DDL,
+    ).write.parquet(new_dir)
+
+    path = str(tmp_path / "frozen.json")
+    save_profile(reference_profile_grouped(ref, ["provider"], "x"), path)
+
+    assert refresh_profiles.main(
+        ["--profile-path", path, "--new-data", new_dir]
+    ) == 0
+    s = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s["kind"] == "distribution_grouped"
+    assert s["n_before"] == 160 and s["n_after"] == 240
+    assert s["flags"]["unknown_rows"] == 6
+    assert s["flags"]["needs_rebin_groups"] == [["b"]]
+    # the stored file now carries the merged profile
+    assert load_profile(path)["profiles"][("a",)]["n"] == 120
+
+    # unsupported kind fails loudly
+    save_profile({"kind": "text_grouped", "keys": ["p"]}, path)
+    with pytest.raises(SystemExit, match="no incremental update"):
+        refresh_profiles.main(["--profile-path", path, "--new-data", new_dir])
