@@ -16,9 +16,7 @@ The monitor then hot-swaps the refreshed profile on its next restart
 
 The profile KIND is auto-detected from the stored JSON, covering the
 whole family: distribution (global / grouped / multi-column / matrix),
-embedding (global / grouped), text (global).  Grouped text profiles
-must re-freeze (their per-group LMs make the stored-mean mix
-unbounded without per-group doc counts under the new LM).
+embedding (global / grouped), text (global / grouped).
 
 The refresh is HONEST about what cannot merge: the summary line
 surfaces every ``needs_rebin`` cell (new data escaped the frozen bin
@@ -75,6 +73,12 @@ def _flags(kind: str, merged: dict) -> dict:
     elif kind == "text":
         out["ppl_lm_divergence"] = merged.get("ppl_lm_divergence")
         out["needs_ppl_rescore"] = bool(merged.get("needs_ppl_rescore"))
+    elif kind == "text_grouped":
+        out["needs_ppl_rescore_groups"] = [
+            list(g)
+            for g, p in merged["profiles"].items()
+            if p.get("needs_ppl_rescore")
+        ]
     if "unknown_rows" in merged:
         out["unknown_rows"] = merged["unknown_rows"]
     return out
@@ -115,6 +119,7 @@ def main(argv: list[str] | None = None) -> int:
         update_reference_profile_multi,
         update_reference_profile_multi_grouped,
         update_text_reference_profile,
+        update_text_reference_profile_grouped,
     )
 
     spark = SparkSession.builder.appName("refresh-profiles").getOrCreate()
@@ -139,6 +144,9 @@ def main(argv: list[str] | None = None) -> int:
             profile, new_data
         ),
         "text": lambda: update_text_reference_profile(profile, new_data),
+        "text_grouped": lambda: update_text_reference_profile_grouped(
+            profile, new_data
+        ),
     }
     if kind not in dispatch:
         raise SystemExit(

@@ -29,5 +29,6 @@ from .text_stream import (  # noqa: F401
     text_reference_profile,
     text_reference_profile_grouped,
     update_text_reference_profile,
+    update_text_reference_profile_grouped,
 )
 from .validate_stream import stream_validate, windowed_violation_counts  # noqa: F401

@@ -596,7 +596,7 @@ def text_reference_profile_grouped(
         .collect()
     }
     sent_stats = {
-        tuple(r[k] for k in keys): float(r.asl)
+        tuple(r[k] for k in keys): (float(r.asl), int(r.n_sent))
         for r in base.select(
             *keys, F.explode(F.split(F.col(column), r"\.")).alias("s")
         )
@@ -605,7 +605,8 @@ def text_reference_profile_grouped(
         .agg(
             F.avg(
                 F.size(F.filter(F.split(F.col("s"), r"\s+"), lambda x: x != ""))
-            ).alias("asl")
+            ).alias("asl"),
+            F.count("*").alias("n_sent"),
         )
         .collect()
     }
@@ -645,17 +646,19 @@ def text_reference_profile_grouped(
         v = vocab.get(g, {})
         ts = tok_stats.get(g)
         tc = int(ts.tc) if ts is not None else 0
+        asl, n_sent = sent_stats.get(g, (0.0, 0))
         profiles[g] = {
             "n": int(r.n),
             "vocab": v,
             "total_tokens": int(sum(v.values())),
             "style": {
-                "avg_sentence_len": sent_stats.get(g, 0.0),
+                "avg_sentence_len": asl,
                 "avg_word_len": float(ts.awl) if ts is not None else 0.0,
                 "token_count": tc,
                 "unique_token_count": int(ts.utc) if ts is not None else 0,
                 "diversity": (int(ts.utc) / max(tc, 1)) if ts is not None else 0.0,
             },
+            "n_sentences": n_sent,
             "ref_mean_perplexity": mean_ppls.get(g, 0.0),
         }
     if topic_column is not None:
@@ -680,6 +683,7 @@ def text_reference_profile_grouped(
             counts = per_group.get(g, {})
             tot = float(sum(counts.values())) or 1.0
             p["topics"] = {str(t): c / tot for t, c in counts.items()}
+            p["topics_n"] = int(sum(counts.values()))
     out = {
         "kind": "text_grouped",
         "column": column,
@@ -959,3 +963,187 @@ class _GroupRow:
     def __getattr__(self, name):
         v = self._row[name]
         return self._DEFAULTS.get(name, 0) if v is None else v
+
+
+def update_text_reference_profile_grouped(
+    profile: dict,
+    new_data: DataFrame,
+    lm_divergence_threshold: float = 0.1,
+) -> dict:
+    """Fold ``new_data`` into EVERY group of a grouped text profile —
+    grouped one-pass jobs (per-group vocab counts, sentence sums, doc
+    counts, topic counts, and new-doc perplexity under each group's
+    MERGED LM via one broadcast join), then
+    :func:`update_text_reference_profile`'s per-group arithmetic:
+    vocab/style/topics merge EXACTLY; the own-LM mean perplexity mixes
+    doc-count-weighted with per-group ``ppl_lm_divergence`` /
+    ``needs_ppl_rescore`` staleness flags.  Rows from groups with no
+    frozen profile are counted and reported (``unknown_rows``), never
+    folded — a new provider is a re-freeze decision.  Profiles frozen
+    before ``n_sentences`` was stored are refused (re-freeze once).
+    """
+    for g, p in profile["profiles"].items():
+        if "n_sentences" not in p:
+            raise ValueError(
+                f"group {g} lacks n_sentences (frozen by an older builder)"
+                " — re-freeze once with text_reference_profile_grouped"
+            )
+    column = profile["column"]
+    keys = profile["keys"]
+    topic_column = profile.get("topic_column")
+    profiles = profile["profiles"]
+    spark = new_data.sparkSession
+    base = new_data.where(F.col(column).isNotNull()).select(
+        *[F.col(k).cast("string").alias(k) for k in keys],
+        column,
+        *([topic_column] if topic_column else []),
+    )
+
+    n_rows = {
+        tuple(r[k] for k in keys): int(r.n)
+        for r in base.groupBy(*keys).agg(F.count("*").alias("n")).collect()
+    }
+    unknown_rows = sum(n for g, n in n_rows.items() if g not in profiles)
+    if sum(n_rows.values()) == unknown_rows:  # nothing foldable
+        return {**profile, "unknown_rows": int(unknown_rows)}
+
+    toks = _tokens_grouped(base, column, keys)
+    new_vocab: dict[tuple, dict[str, int]] = {}
+    for r in (
+        toks.groupBy(*keys, "token").agg(F.count("*").alias("cnt")).collect()
+    ):
+        g = tuple(r[k] for k in keys)
+        if g in profiles:
+            new_vocab.setdefault(g, {})[r.token] = int(r.cnt)
+    sent_stats = {
+        tuple(r[k] for k in keys): (int(r.n_sent), int(r.len_sum))
+        for r in base.select(
+            *keys, F.explode(F.split(F.col(column), r"\.")).alias("s")
+        )
+        .where(F.trim("s") != "")
+        .groupBy(*keys)
+        .agg(
+            F.count("*").alias("n_sent"),
+            F.coalesce(
+                F.sum(
+                    F.size(
+                        F.filter(F.split(F.col("s"), r"\s+"), lambda x: x != "")
+                    )
+                ),
+                F.lit(0),
+            ).alias("len_sum"),
+        )
+        .collect()
+    }
+    topic_counts: dict[tuple, dict[int, int]] = {}
+    if topic_column is not None:
+        for r in (
+            assign_topics(
+                base.where(
+                    F.col(topic_column).isNotNull()
+                    & (F.size(F.col(topic_column)) > 0)
+                ),
+                topic_column,
+            )
+            .groupBy(*keys, "topic")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        ):
+            topic_counts.setdefault(tuple(r[k] for k in keys), {})[
+                int(r.topic)
+            ] = int(r.cnt)
+
+    # merge vocabularies first: new docs score under the MERGED LMs
+    merged_vocab = {
+        g: dict(p["vocab"]) for g, p in profiles.items()
+    }
+    for g, nv in new_vocab.items():
+        for t, c in nv.items():
+            merged_vocab[g][t] = merged_vocab[g].get(t, 0) + c
+    frozen = _frozen_vocab_frame(spark, keys, merged_vocab)
+    denoms = {
+        g: float(sum(v.values()) + max(len(v), 1))
+        for g, v in merged_vocab.items()
+    }
+    dframe = spark.createDataFrame(
+        [(*g, d) for g, d in denoms.items()],
+        ", ".join(f"{k} string" for k in keys) + ", __denom double",
+    )
+    new_ppls = {
+        tuple(r[k] for k in keys): float(r.mean_ppl)
+        for r in toks.join(F.broadcast(frozen), [*keys, "token"], "left")
+        .join(F.broadcast(dframe), keys)
+        .select(
+            *keys,
+            "_doc",
+            F.log(
+                (F.coalesce(F.col("cr"), F.lit(0)) + 1.0) / F.col("__denom")
+            ).alias("logp"),
+        )
+        .groupBy(*keys, "_doc")
+        .agg(F.exp(-F.avg("logp")).alias("ppl"))
+        .groupBy(*keys)
+        .agg(F.avg("ppl").alias("mean_ppl"))
+        .collect()
+    }
+
+    merged: dict[tuple, dict] = {}
+    for g, p in profiles.items():
+        n_new = n_rows.get(g, 0)
+        if n_new == 0:
+            merged[g] = dict(p)
+            continue
+        mv = merged_vocab[g]
+        total = sum(mv.values())
+        tc = max(total, 1)
+        awl = sum(len(t) * c for t, c in mv.items()) / tc
+        n_sent_new, len_sum_new = sent_stats.get(g, (0, 0))
+        old_sent_sum = p["style"]["avg_sentence_len"] * p["n_sentences"]
+        n_sent = p["n_sentences"] + n_sent_new
+        asl = (old_sent_sum + len_sum_new) / n_sent if n_sent else 0.0
+
+        old_total = max(p["total_tokens"], 1)
+        js = 0.0
+        for t, mc in mv.items():
+            pr = p["vocab"].get(t, 0) / old_total
+            pm = mc / tc
+            m = (pr + pm) / 2
+            if pr > 0:
+                js += 0.5 * pr * math.log(pr / m + 1e-10)
+            if pm > 0:
+                js += 0.5 * pm * math.log(pm / m + 1e-10)
+
+        n_old = p["n"]
+        mean_ppl = (
+            n_old * p["ref_mean_perplexity"]
+            + n_new * new_ppls.get(g, 0.0)
+        ) / (n_old + n_new)
+        mp = {
+            **p,
+            "n": int(n_old + n_new),
+            "vocab": mv,
+            "total_tokens": int(total),
+            "style": {
+                "avg_sentence_len": float(asl),
+                "avg_word_len": float(awl),
+                "token_count": total,
+                "unique_token_count": len(mv),
+                "diversity": float(len(mv) / tc),
+            },
+            "n_sentences": int(n_sent),
+            "ref_mean_perplexity": float(mean_ppl),
+            "ppl_lm_divergence": float(js),
+            "needs_ppl_rescore": bool(js > lm_divergence_threshold),
+        }
+        if topic_column is not None:
+            old_n = p.get("topics_n", 0)
+            acc = {k: pr * old_n for k, pr in p.get("topics", {}).items()}
+            for t, c in topic_counts.get(g, {}).items():
+                acc[str(t)] = acc.get(str(t), 0.0) + c
+            tot = sum(acc.values()) or 1.0
+            mp["topics"] = {k: v / tot for k, v in acc.items()}
+            mp["topics_n"] = int(
+                old_n + sum(topic_counts.get(g, {}).values())
+            )
+        merged[g] = mp
+    return {**profile, "profiles": merged, "unknown_rows": int(unknown_rows)}

@@ -254,6 +254,6 @@ def test_refresh_profiles_cli(spark, tmp_path, capsys):
     assert load_profile(path)["profiles"][("a",)]["n"] == 120
 
     # unsupported kind fails loudly
-    save_profile({"kind": "text_grouped", "keys": ["p"]}, path)
+    save_profile({"kind": "something_else", "keys": ["p"]}, path)
     with pytest.raises(SystemExit, match="no incremental update"):
         refresh_profiles.main(["--profile-path", path, "--new-data", new_dir])

@@ -121,3 +121,101 @@ def test_update_refuses_old_profile_and_is_dropin_for_stream(spark, tmp_path):
     )
     r = spark.read.parquet(f"{out}/text_metrics").collect()[0]
     assert r.drift_detected and r.n == 50  # disjoint traffic still flags
+
+
+def test_grouped_text_update_matches_per_group(spark):
+    """update_text_reference_profile_grouped == the global update run
+    on each group's slice, for every mergeable part; per-group LM
+    staleness flags are independent; unknown groups counted."""
+    import pyspark.sql.functions as F
+
+    from llm_drift_detector_spark.streaming import (
+        text_reference_profile,
+        text_reference_profile_grouped,
+        update_text_reference_profile,
+        update_text_reference_profile_grouped,
+    )
+
+    gddl = "provider string, transcript string, embedding array<float>"
+
+    def grows(g, vocab, hot, n):
+        return [(g, t, e) for t, e in _edocs(vocab, hot, n)]
+
+    ref_rows = grows("a", A_VOCAB, [0, 1], 80) + grows("b", B_VOCAB, [2], 60)
+    # group a folds SAME-distribution data; group b folds a vocab shift
+    new_rows = (
+        grows("a", A_VOCAB, [0, 1], 50)
+        + grows("b", A_VOCAB, [5], 40)
+        + grows("zzz", B_VOCAB, [3], 7)
+    )
+    ref = spark.createDataFrame(ref_rows, gddl)
+    new = spark.createDataFrame(new_rows, gddl)
+
+    gprof = text_reference_profile_grouped(
+        ref, ["provider"], "transcript", topic_column="embedding"
+    )
+    merged = update_text_reference_profile_grouped(gprof, new)
+    assert merged["unknown_rows"] == 7
+
+    for g in ("a", "b"):
+        solo = update_text_reference_profile(
+            text_reference_profile(
+                ref.where(F.col("provider") == g).drop("provider"),
+                "transcript",
+                topic_column="embedding",
+            ),
+            new.where(F.col("provider") == g).drop("provider"),
+        )
+        got = merged["profiles"][(g,)]
+        assert got["n"] == solo["n"]
+        assert got["vocab"] == solo["vocab"]
+        assert got["n_sentences"] == solo["n_sentences"]
+        for k in solo["style"]:
+            assert got["style"][k] == pytest.approx(solo["style"][k]), (g, k)
+        assert got["topics_n"] == solo["topics_n"]
+        for k in solo["topics"]:
+            assert got["topics"][k] == pytest.approx(solo["topics"][k])
+        assert got["ppl_lm_divergence"] == pytest.approx(
+            solo["ppl_lm_divergence"], abs=1e-12
+        )
+        assert got["ref_mean_perplexity"] == pytest.approx(
+            solo["ref_mean_perplexity"], rel=1e-9
+        )
+    assert not merged["profiles"][("a",)]["needs_ppl_rescore"]
+    assert merged["profiles"][("b",)]["needs_ppl_rescore"]
+
+
+def test_grouped_text_update_refuses_legacy_and_is_dropin(spark, tmp_path):
+    from llm_drift_detector_spark.streaming import (
+        stream_text_drift_grouped,
+        text_reference_profile_grouped,
+        update_text_reference_profile_grouped,
+    )
+
+    gddl = "provider string, transcript string"
+    ref = spark.createDataFrame(
+        [("a", d) for (d,) in _docs(A_VOCAB, 60)], gddl
+    )
+    gprof = text_reference_profile_grouped(ref, ["provider"], "transcript")
+
+    legacy = {
+        **gprof,
+        "profiles": {
+            g: {k: v for k, v in p.items() if k != "n_sentences"}
+            for g, p in gprof["profiles"].items()
+        },
+    }
+    with pytest.raises(ValueError, match="n_sentences"):
+        update_text_reference_profile_grouped(legacy, ref)
+
+    merged = update_text_reference_profile_grouped(
+        gprof,
+        spark.createDataFrame([("a", d) for (d,) in _docs(A_VOCAB, 30)], gddl),
+    )
+    src, out = str(tmp_path / "src"), str(tmp_path / "out")
+    spark.createDataFrame(
+        [("a", d) for (d,) in _docs(B_VOCAB, 40)], gddl
+    ).coalesce(1).write.parquet(f"{src}/b0")
+    stream_text_drift_grouped(spark, src + "/b*", merged, out, schema=gddl)
+    rows = spark.read.parquet(f"{out}/text_metrics_grouped").collect()
+    assert len(rows) == 1 and rows[0].drift_detected  # disjoint traffic flags
