@@ -585,93 +585,22 @@ def main(argv: list[str] | None = None) -> int:
             ]
     # ---- C19 alert derivation over the drained epochs -----------------
     #
-    # AlertManager (batch-side C19) runs over each epoch's metric rows
-    # in epoch order: level classification + (column, detector, level)
-    # cooldown throttling, with critical bypassing at half cooldown.
-    # Epochs map to synthetic timestamps (epoch * --epoch-minutes from a
-    # fixed origin) so the arithmetic is deterministic, and the throttle
-    # state persists to alerts_state.json so a RESTARTED drain respects
-    # cooldowns from previous runs instead of re-alerting on its first
-    # epoch.
-    from datetime import datetime, timedelta
+    # Shared engine (monitoring/derive.py): discovers the metric sinks,
+    # labels rows with per-cell cooldown keys, and runs AlertManager
+    # over the NEW epochs only (per-sink progress bookkeeping) — the
+    # same call jobs/derive_alerts.py makes on a cadence beside a
+    # --continuous monitor.
+    from llm_drift_detector_spark.monitoring.derive import derive_stream_alerts
 
-    from llm_drift_detector_spark.monitoring import AlertManager
-
-    mgr = AlertManager(cooldown_minutes=args.alert_cooldown_minutes)
-    state_path = os.path.join(args.out, "alerts_state.json")
-    mgr.load_state(state_path)
-    origin = datetime(2000, 1, 1)
-
-    def group_suffix(r, keys):
-        return "|" + ",".join(str(r[k]) for k in keys) if keys else ""
-
-    epoch_metrics: dict[int, list[dict]] = {}
-    for r in rows:
-        if r.gated:
-            continue
-        epoch_metrics.setdefault(int(r.epoch), []).append(
-            {
-                "detector_name": "distribution_stream",
-                "column": (
-                    r.column + group_suffix(r, group_keys or [])
-                    if drift_cols
-                    else args.drift_column + group_suffix(r, group_keys or [])
-                ),
-                "drift_score": float(r.drift_score),
-                "threshold": 1.0,  # drift_score is already score/threshold-normalized
-            }
-        )
-    if emb_profile is not None:
-        for r in erows:
-            if r.gated:
-                continue
-            epoch_metrics.setdefault(int(r.epoch), []).append(
-                {
-                    "detector_name": "embedding_stream",
-                    "column": args.embedding_column + group_suffix(r, emb_keys or []),
-                    "drift_score": float(r.drift_score),
-                    "threshold": 0.15,  # EMBEDDING_DETECTOR_THRESHOLD
-                }
-            )
-    for r in trows:
-        if r.gated:
-            continue
-        fams = [
-            ("lexical_stream", float(r.lexical_score), 0.10),  # LEXICAL_THRESHOLD
-            # ppl/topic scores are already score/threshold-normalized
-            ("perplexity_stream", float(r.ppl_score), 1.0),
-        ]
-        if r.topic_score is not None:
-            fams.append(("topic_stream", float(r.topic_score), 1.0))
-        for det, score, thr in fams:
-            epoch_metrics.setdefault(int(r.epoch), []).append(
-                {
-                    "detector_name": det,
-                    "column": args.text_column
-                    + group_suffix(r, text_keys or []),
-                    "drift_score": score,
-                    "threshold": thr,
-                }
-            )
-    alert_rows = []
-    for epoch in sorted(epoch_metrics):
-        ts = origin + timedelta(minutes=args.epoch_minutes * epoch)
-        for a in mgr.derive(
-            [{**m, "timestamp": ts} for m in epoch_metrics[epoch]]
-        ):
-            alert_rows.append(
-                (
-                    int(epoch), a.level, a.detector_name, a.column,
-                    float(a.drift_score), float(a.threshold),
-                )
-            )
-    mgr.save_state(state_path)
-    if alert_rows:
-        spark.createDataFrame(
-            alert_rows,
-            "epoch bigint, level string, detector string, column string, "
-            "drift_score double, threshold double",
-        ).write.mode("append").parquet(os.path.join(args.out, "alerts"))
+    alert_rows = derive_stream_alerts(
+        spark,
+        args.out,
+        distribution_label=args.drift_column,
+        embedding_label=args.embedding_column or "embedding",
+        text_label=args.text_column or "text",
+        cooldown_minutes=args.alert_cooldown_minutes,
+        epoch_minutes=args.epoch_minutes,
+    )
     summary["alerts"] = [
         {"epoch": e, "level": lvl, "detector": det, "column": col}
         for e, lvl, det, col, _s, _t in alert_rows

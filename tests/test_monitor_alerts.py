@@ -103,3 +103,64 @@ def test_grouped_alerts_key_on_group(spark, monitor_env, capsys):
     assert len(cols) >= 2 and all(c.startswith("dur_ms|") for c in cols)
     # epoch 1 repeats the shift inside the cooldown window: throttled
     assert not any(a["epoch"] == 1 for a in s["alerts"])
+
+
+def test_derive_alerts_cadence_cli(spark, tmp_path, capsys):
+    """The out-of-band cadence job (continuous-monitor companion):
+    derives alerts only for NEW epochs, is idempotent when nothing new
+    arrived, and picks up later epochs on the next invocation."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    import derive_alerts
+
+    from llm_drift_detector_spark.streaming import (
+        reference_profile,
+        stream_drift,
+    )
+
+    def rows(n, shift=0.0):
+        return [(float(100 + (i * 7) % 31) + shift,) for i in range(n)]
+
+    out, src = str(tmp_path / "out"), str(tmp_path / "src")
+    ref = spark.createDataFrame(rows(200), "x double")
+    prof = reference_profile(ref, "x")
+
+    spark.createDataFrame(rows(60), "x double").coalesce(1).write.parquet(
+        f"{src}/b0"
+    )
+    spark.createDataFrame(rows(60, shift=900.0), "x double").coalesce(
+        1
+    ).write.parquet(f"{src}/b1")
+    stream_drift(
+        spark, src + "/b*", prof, out, schema="x double",
+        max_files_per_trigger=1,
+    )
+
+    cli = ["--out", out, "--drift-column", "x", "--epoch-minutes", "120"]
+    assert derive_alerts.main(cli) == 0
+    s1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(s1["new_alerts"]) == 1
+    assert s1["new_alerts"][0]["epoch"] == 1
+    assert s1["new_alerts"][0]["column"] == "x"
+
+    # nothing new arrived: idempotent no-op
+    assert derive_alerts.main(cli) == 0
+    s2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s2["new_alerts"] == []
+
+    # a later shifted epoch arrives; only IT derives (cooldown cleared
+    # by the 120-minute epoch spacing)
+    spark.createDataFrame(rows(60, shift=900.0), "x double").coalesce(
+        1
+    ).write.parquet(f"{src}/b2")
+    stream_drift(
+        spark, src + "/b*", prof, out, schema="x double",
+        max_files_per_trigger=1,
+    )
+    assert derive_alerts.main(cli) == 0
+    s3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert [a["epoch"] for a in s3["new_alerts"]] == [2]
+    # the alerts sink accumulated exactly the two rows
+    assert spark.read.parquet(f"{out}/alerts").count() == 2
