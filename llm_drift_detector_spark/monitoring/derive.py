@@ -88,10 +88,16 @@ def derive_stream_alerts(
         has_column = "column" in pre
         done_through = int(progress.get(sink, -1))
         max_seen = done_through
-        for r in df.collect():
+        # epoch is the sink's PARTITION column: pushing the progress
+        # bound into the scan prunes already-processed epochs at file
+        # listing, so a long-running monitor's cadence cost stays
+        # O(new epochs), not O(history)
+        import pyspark.sql.functions as F
+
+        for r in df.where(F.col("epoch") > done_through).collect():
             epoch = int(r["epoch"])
             max_seen = max(max_seen, epoch)
-            if epoch <= done_through or r["gated"]:
+            if r["gated"]:
                 continue
             base = (
                 r["column"]
