@@ -36,6 +36,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--text-column", default="text")
     p.add_argument("--cooldown-minutes", type=float, default=60.0)
     p.add_argument("--epoch-minutes", type=float, default=60.0)
+    p.add_argument(
+        "--include-latest", action="store_true",
+        help="also derive each sink's HIGHEST epoch; by default it is "
+        "held back one cadence because a live monitor may still be "
+        "overwriting (or crash-replaying) it — only pass this when the "
+        "monitor is known stopped",
+    )
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -51,6 +58,7 @@ def main(argv: list[str] | None = None) -> int:
         text_label=args.text_column,
         cooldown_minutes=args.cooldown_minutes,
         epoch_minutes=args.epoch_minutes,
+        holdback_latest=not args.include_latest,
     )
     print(json.dumps({
         "out": args.out,

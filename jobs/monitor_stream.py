@@ -76,6 +76,28 @@ import os
 import sys
 
 
+def _split_columns(spec: str) -> list[str]:
+    """Split --drift-columns on TOP-LEVEL commas only: entries may be
+    SQL expressions with their own commas (round(dur_ms,2),
+    coalesce(x,0)), which a naive split would shred into unparseable
+    fragments."""
+    out: list[str] = []
+    cur: list[str] = []
+    depth = 0
+    for ch in spec:
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+            continue
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        cur.append(ch)
+    out.append("".join(cur).strip())
+    return [c for c in out if c]
+
+
 def _load(spark, spec: str):
     if spec.startswith("table:"):
         return spark.read.table(spec[len("table:"):])
@@ -207,7 +229,7 @@ def main(argv: list[str] | None = None) -> int:
     # the frozen profile: ONE batch job over the reference window,
     # closed over every micro-batch after that
     group_keys = args.group_keys.split(",") if args.group_keys else None
-    drift_cols = args.drift_columns.split(",") if args.drift_columns else None
+    drift_cols = _split_columns(args.drift_columns) if args.drift_columns else None
     if args.profile_path and os.path.exists(args.profile_path):
         from llm_drift_detector_spark.streaming import load_profile
 

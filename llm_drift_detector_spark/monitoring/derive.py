@@ -30,6 +30,7 @@ import json
 import os
 from datetime import datetime, timedelta
 
+from ..config import EMBEDDING_DETECTOR_THRESHOLD, LEXICAL_THRESHOLD
 from .alerts import AlertManager
 
 # sink name -> (family kind, default score threshold)
@@ -61,10 +62,23 @@ def derive_stream_alerts(
     text_label: str = "text",
     cooldown_minutes: float = 60.0,
     epoch_minutes: float = 60.0,
+    holdback_latest: bool = False,
 ) -> list[tuple]:
     """Derive alerts for every NEW epoch across all existing metric
     sinks under ``out_dir``; append them to ``<out_dir>/alerts`` and
-    return the new alert rows (tuples matching ``ALERTS_SCHEMA``)."""
+    return the new alert rows (tuples matching ``ALERTS_SCHEMA``).
+
+    ``holdback_latest=True`` (the cadence job's default) withholds each
+    sink's HIGHEST epoch from this pass: while a continuous monitor is
+    running, its current epoch partition may be mid-overwrite (or about
+    to be crash-replayed — the streams' idempotent-replay path rewrites
+    the last epoch), and deriving from a torn read would permanently
+    mark it processed with partial metrics.  Older epochs are immutable
+    once a newer one exists, so holding back exactly the newest closes
+    the race at the cost of one cadence of alert latency.  The
+    drain-end path passes False — ``awaitTermination`` has returned,
+    no writer is live.
+    """
     mgr = AlertManager(cooldown_minutes=cooldown_minutes)
     state_path = os.path.join(out_dir, "alerts_state.json")
     progress_path = os.path.join(out_dir, "alerts_progress.json")
@@ -94,7 +108,13 @@ def derive_stream_alerts(
         # O(new epochs), not O(history)
         import pyspark.sql.functions as F
 
-        for r in df.where(F.col("epoch") > done_through).collect():
+        bound = df.where(F.col("epoch") > done_through)
+        if holdback_latest:
+            newest = df.selectExpr("max(epoch) as m").collect()[0].m
+            if newest is None:
+                continue
+            bound = bound.where(F.col("epoch") < int(newest))
+        for r in bound.collect():
             epoch = int(r["epoch"])
             max_seen = max(max_seen, epoch)
             if r["gated"]:
@@ -116,7 +136,8 @@ def derive_stream_alerts(
             label = f"{base}{suffix}"
             if kind == "text":
                 fams = [
-                    ("lexical_stream", float(r["lexical_score"]), 0.10),
+                    ("lexical_stream", float(r["lexical_score"]), LEXICAL_THRESHOLD),
+                    # ppl/topic scores arrive score/threshold-normalized
                     ("perplexity_stream", float(r["ppl_score"]), 1.0),
                 ]
                 if r["topic_score"] is not None:
@@ -126,7 +147,10 @@ def derive_stream_alerts(
                     (
                         f"{kind}_stream",
                         float(r["drift_score"]),
-                        1.0 if kind == "distribution" else 0.15,
+                        # distribution drift_score is already normalized
+                        1.0
+                        if kind == "distribution"
+                        else EMBEDDING_DETECTOR_THRESHOLD,
                     )
                 ]
             for det, score, thr in fams:
@@ -155,13 +179,18 @@ def derive_stream_alerts(
                 )
             )
 
+    # ORDER MATTERS: append the alert rows BEFORE committing progress /
+    # cooldown state.  A crash after the append but before the commit
+    # re-derives those epochs next run (duplicate alert rows, throttled
+    # by the reloaded cooldowns); the reverse order would mark epochs
+    # processed with their alerts lost forever.
+    if alert_rows:
+        spark.createDataFrame(alert_rows, ALERTS_SCHEMA).write.mode(
+            "append"
+        ).parquet(os.path.join(out_dir, "alerts"))
     mgr.save_state(state_path)
     tmp = progress_path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(new_progress, f)
     os.replace(tmp, progress_path)
-    if alert_rows:
-        spark.createDataFrame(alert_rows, ALERTS_SCHEMA).write.mode(
-            "append"
-        ).parquet(os.path.join(out_dir, "alerts"))
     return alert_rows

@@ -607,8 +607,8 @@ def update_reference_profile_multi(
     )
     acc = {
         c: {
-            "js": np.asarray(profiles[c]["js_counts"], dtype=np.float64).copy(),
-            "psi": np.asarray(profiles[c]["psi_counts"], dtype=np.float64).copy(),
+            "js": np.zeros(profiles[c]["nbins"]),
+            "psi": np.zeros(profiles[c]["psi_nbins"]),
             "n": 0, "s": 0.0, "ss": 0.0,
             "mn": math.inf, "mx": -math.inf,
         }
@@ -626,37 +626,14 @@ def update_reference_profile_multi(
         a["mn"] = min(a["mn"], r.mn)
         a["mx"] = max(a["mx"], r.mx)
 
-    merged: dict[str, dict] = {}
-    for c in columns:
-        p, a = profiles[c], acc[c]
-        n2 = a["n"]
-        if n2 == 0:
-            merged[c] = dict(p)
-            continue
-        n1, m1 = p["n"], p["mean"]
-        m2_1 = p["var"] * (n1 - 1) if n1 > 1 else 0.0
-        mean2 = a["s"] / n2
-        m2_2 = a["ss"] - n2 * mean2 * mean2
-        n = n1 + n2
-        delta = mean2 - m1
-        mean = m1 + delta * n2 / n
-        m2 = m2_1 + m2_2 + delta * delta * n1 * n2 / n
-        var = m2 / (n - 1) if n > 1 else 0.0
-        data_mn = min(p.get("data_mn", p["mn"]), a["mn"])
-        data_mx = max(p.get("data_mx", p["mx"]), a["mx"])
-        span = max(p["mx"] - p["mn"], 1e-300)
-        range_excess = max(p["mn"] - data_mn, data_mx - p["mx"]) / span
-        merged[c] = {
-            **p,
-            "n": int(n),
-            "mean": float(mean),
-            "var": float(var),
-            "js_counts": a["js"].tolist(),
-            "psi_counts": a["psi"].tolist(),
-            "data_mn": float(data_mn),
-            "data_mx": float(data_mx),
-            "needs_rebin": bool(range_excess > rebin_rel_threshold),
-        }
+    merged: dict[str, dict] = {
+        c: (
+            dict(profiles[c])
+            if acc[c]["n"] == 0
+            else _merge_cell(profiles[c], acc[c], rebin_rel_threshold)
+        )
+        for c in columns
+    }
     return {**profile, "column_profiles": merged}
 
 

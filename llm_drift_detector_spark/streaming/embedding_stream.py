@@ -243,7 +243,14 @@ def update_embedding_reference_profile_grouped(
             for i in range(dim)
         ]
     st = base.groupBy(*keys).agg(*aggs).collect()
-    bad = sum(int(r.bad_n) for r in st)
+    # the dim guard applies only to KNOWN groups: a new provider (the
+    # typical unknown group) very likely ships a different embedding
+    # model/dimension, and its rows are counted-not-folded anyway —
+    # aborting the whole refresh over them would contradict the
+    # unknown-rows contract
+    bad = sum(
+        int(r.bad_n) for r in st if tuple(r[k] for k in keys) in profiles
+    )
     if bad:
         raise ValueError(
             f"{bad} new {column} rows have array length != frozen "

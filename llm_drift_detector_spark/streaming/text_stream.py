@@ -105,13 +105,15 @@ def text_reference_profile(
     )
     vocab = {r.token: int(r.cnt) for r in vocab_rows}
     style = style_features_frame(ref, column).collect()[0].asDict()
-    mean_ppl = float(
+    ppl_row = (
         unigram_perplexities(ref, ref, column)
-        .agg(F.avg("perplexity").alias("m"))
+        .agg(F.avg("perplexity").alias("m"), F.count("*").alias("c"))
         .collect()[0]
-        .m
-        or 0.0
     )
+    mean_ppl = float(ppl_row.m or 0.0)
+    # docs with zero tokens never enter the perplexity average; the
+    # SCORED count is the correct mixing weight for incremental updates
+    n_ppl_docs = int(ppl_row.c)
     n_sent = int(
         ref.where(F.col(column).isNotNull())
         .select(F.explode(F.split(F.col(column), r"\.")).alias("s"))
@@ -129,6 +131,7 @@ def text_reference_profile(
         # avg_sentence_len exactly mergeable in the incremental update
         "n_sentences": n_sent,
         "ref_mean_perplexity": mean_ppl,
+        "n_ppl_docs": n_ppl_docs,
     }
     if topic_column is not None:
         tdf = ref.where(
@@ -257,7 +260,7 @@ def update_text_reference_profile(
     frozen = new_data.sparkSession.createDataFrame(
         list(merged_vocab.items()), "token string, cr bigint"
     ).where(F.col("token") != "")
-    new_mean_ppl = float(
+    ppl_row = (
         _tokens(new_data, column)
         .join(F.broadcast(frozen), "token", "left")
         .select(
@@ -268,14 +271,28 @@ def update_text_reference_profile(
         )
         .groupBy("_doc")
         .agg(F.exp(-F.avg("logp")).alias("ppl"))
-        .agg(F.coalesce(F.avg("ppl"), F.lit(0.0)).alias("m"))
+        .agg(
+            F.coalesce(F.avg("ppl"), F.lit(0.0)).alias("m"),
+            F.count("*").alias("c"),
+        )
         .collect()[0]
-        .m
     )
+    new_mean_ppl, n_ppl_new = float(ppl_row.m), int(ppl_row.c)
     n_old = profile["n"]
+    # mix weighted by SCORED doc counts: a tokenless doc (whitespace-only
+    # transcript) never enters either side's average, so weighting by
+    # raw doc counts would drag the mean toward the 0.0 placeholder
+    n_ppl_old = int(profile.get("n_ppl_docs", n_old))
+    n_ppl = n_ppl_old + n_ppl_new
     mean_ppl = (
-        n_old * profile["ref_mean_perplexity"] + n_new * new_mean_ppl
-    ) / (n_old + n_new)
+        (
+            n_ppl_old * profile["ref_mean_perplexity"]
+            + n_ppl_new * new_mean_ppl
+        )
+        / n_ppl
+        if n_ppl
+        else profile["ref_mean_perplexity"]
+    )
 
     merged = {
         **profile,
@@ -285,6 +302,7 @@ def update_text_reference_profile(
         "style": style,
         "n_sentences": int(n_sent),
         "ref_mean_perplexity": float(mean_ppl),
+        "n_ppl_docs": int(n_ppl),
         "ppl_lm_divergence": float(js),
         "needs_ppl_rescore": bool(js > lm_divergence_threshold),
     }
@@ -635,10 +653,11 @@ def text_reference_profile_grouped(
         .groupBy(*keys, "_doc")
         .agg(F.exp(-F.avg("logp")).alias("ppl"))
         .groupBy(*keys)
-        .agg(F.avg("ppl").alias("mean_ppl"))
+        .agg(F.avg("ppl").alias("mean_ppl"), F.count("*").alias("n_ppl"))
         .collect()
     )
     mean_ppls = {tuple(r[k] for k in keys): float(r.mean_ppl) for r in ppl_rows}
+    n_ppls = {tuple(r[k] for k in keys): int(r.n_ppl) for r in ppl_rows}
 
     profiles: dict[tuple, dict] = {}
     for r in n_rows:
@@ -660,6 +679,7 @@ def text_reference_profile_grouped(
             },
             "n_sentences": n_sent,
             "ref_mean_perplexity": mean_ppls.get(g, 0.0),
+            "n_ppl_docs": n_ppls.get(g, 0),
         }
     if topic_column is not None:
         tcounts = (
@@ -1069,8 +1089,8 @@ def update_text_reference_profile_grouped(
         [(*g, d) for g, d in denoms.items()],
         ", ".join(f"{k} string" for k in keys) + ", __denom double",
     )
-    new_ppls = {
-        tuple(r[k] for k in keys): float(r.mean_ppl)
+    new_ppls: dict[tuple, tuple[float, int]] = {
+        tuple(r[k] for k in keys): (float(r.mean_ppl), int(r.n_ppl))
         for r in toks.join(F.broadcast(frozen), [*keys, "token"], "left")
         .join(F.broadcast(dframe), keys)
         .select(
@@ -1083,7 +1103,7 @@ def update_text_reference_profile_grouped(
         .groupBy(*keys, "_doc")
         .agg(F.exp(-F.avg("logp")).alias("ppl"))
         .groupBy(*keys)
-        .agg(F.avg("ppl").alias("mean_ppl"))
+        .agg(F.avg("ppl").alias("mean_ppl"), F.count("*").alias("n_ppl"))
         .collect()
     }
 
@@ -1114,10 +1134,17 @@ def update_text_reference_profile_grouped(
                 js += 0.5 * pm * math.log(pm / m + 1e-10)
 
         n_old = p["n"]
+        # SCORED-doc weights, like the global update: a tokenless doc
+        # enters neither side's perplexity average
+        new_mean, n_ppl_new = new_ppls.get(g, (0.0, 0))
+        n_ppl_old = int(p.get("n_ppl_docs", n_old))
+        n_ppl = n_ppl_old + n_ppl_new
         mean_ppl = (
-            n_old * p["ref_mean_perplexity"]
-            + n_new * new_ppls.get(g, 0.0)
-        ) / (n_old + n_new)
+            (n_ppl_old * p["ref_mean_perplexity"] + n_ppl_new * new_mean)
+            / n_ppl
+            if n_ppl
+            else p["ref_mean_perplexity"]
+        )
         mp = {
             **p,
             "n": int(n_old + n_new),
@@ -1132,6 +1159,7 @@ def update_text_reference_profile_grouped(
             },
             "n_sentences": int(n_sent),
             "ref_mean_perplexity": float(mean_ppl),
+            "n_ppl_docs": int(n_ppl),
             "ppl_lm_divergence": float(js),
             "needs_ppl_rescore": bool(js > lm_divergence_threshold),
         }

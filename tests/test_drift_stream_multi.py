@@ -363,3 +363,17 @@ def test_multi_grouped_empty_batch_and_gating(spark, tmp_path):
     gated = by_epoch[max(by_epoch)]
     assert {(r.provider, r.column) for r in gated} == {("a", "fa"), ("a", "fb")}
     assert all(r.gated_reason == "min_samples" and r.n == 3 for r in gated)
+
+
+def test_drift_columns_split_respects_expression_commas():
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    from monitor_stream import _split_columns
+
+    assert _split_columns("dur_ms,sr_hz") == ["dur_ms", "sr_hz"]
+    assert _split_columns("round(dur_ms,2),coalesce(sr_hz,0)") == [
+        "round(dur_ms,2)",
+        "coalesce(sr_hz,0)",
+    ]
+    assert _split_columns(" a , length(b) ") == ["a", "length(b)"]

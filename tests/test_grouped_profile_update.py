@@ -257,3 +257,23 @@ def test_refresh_profiles_cli(spark, tmp_path, capsys):
     save_profile({"kind": "something_else", "keys": ["p"]}, path)
     with pytest.raises(SystemExit, match="no incremental update"):
         refresh_profiles.main(["--profile-path", path, "--new-data", new_dir])
+
+
+def test_unknown_group_dim_mismatch_does_not_abort_embedding_update(spark):
+    """A NEW provider with a different embedding dimension must be
+    counted-not-folded, not crash the whole refresh; known-group dim
+    mismatches still abort."""
+    from llm_drift_detector_spark.streaming import (
+        embedding_reference_profile_grouped,
+        update_embedding_reference_profile_grouped,
+    )
+
+    ref = spark.createDataFrame(_erows(["a"], 60), EDDL)
+    gprof = embedding_reference_profile_grouped(ref, ["provider"], "emb")
+
+    new = spark.createDataFrame(
+        _erows(["a"], 30) + [("newprov", [1.0, 2.0, 3.0])] * 8, EDDL
+    )
+    merged = update_embedding_reference_profile_grouped(gprof, new)
+    assert merged["unknown_rows"] == 8
+    assert merged["profiles"][("a",)]["n"] == 90

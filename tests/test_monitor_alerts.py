@@ -138,7 +138,14 @@ def test_derive_alerts_cadence_cli(spark, tmp_path, capsys):
         max_files_per_trigger=1,
     )
 
-    cli = ["--out", out, "--drift-column", "x", "--epoch-minutes", "120"]
+    # default mode holds back each sink's HIGHEST epoch (a live monitor
+    # may still be overwriting it): only epoch 0 derives, no alert yet
+    held = ["--out", out, "--drift-column", "x", "--epoch-minutes", "120"]
+    assert derive_alerts.main(held) == 0
+    s0 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert s0["new_alerts"] == []
+
+    cli = held + ["--include-latest"]
     assert derive_alerts.main(cli) == 0
     s1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert len(s1["new_alerts"]) == 1

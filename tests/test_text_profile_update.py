@@ -219,3 +219,25 @@ def test_grouped_text_update_refuses_legacy_and_is_dropin(spark, tmp_path):
     stream_text_drift_grouped(spark, src + "/b*", merged, out, schema=gddl)
     rows = spark.read.parquet(f"{out}/text_metrics_grouped").collect()
     assert len(rows) == 1 and rows[0].drift_detected  # disjoint traffic flags
+
+
+def test_tokenless_window_does_not_crater_ppl_mean(spark):
+    """A whitespace-only window has no scorable docs: folding it must
+    leave ref_mean_perplexity unchanged (scored-doc weighting), not
+    drag it toward the 0.0 placeholder."""
+    from llm_drift_detector_spark.streaming import (
+        text_reference_profile,
+        update_text_reference_profile,
+    )
+
+    a = spark.createDataFrame(_docs(A_VOCAB, 80), "transcript string")
+    prof = text_reference_profile(a, "transcript")
+    assert prof["n_ppl_docs"] == 80
+
+    blank = spark.createDataFrame([("   ",)] * 50, "transcript string")
+    m = update_text_reference_profile(prof, blank)
+    assert m["n"] == 130  # docs counted
+    assert m["n_ppl_docs"] == 80  # but not scored
+    assert m["ref_mean_perplexity"] == pytest.approx(
+        prof["ref_mean_perplexity"]
+    )
