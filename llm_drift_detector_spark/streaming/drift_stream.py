@@ -737,6 +737,139 @@ def stream_drift_multi(
     return q
 
 
+WINDOWED_SINK_ROW_SCHEMA = (
+    "window_start timestamp, window_end timestamp, " + _SINK_ROW_SCHEMA
+)
+
+
+def stream_drift_windowed(
+    spark: SparkSession,
+    clips_dir: str,
+    profile: dict,
+    out_dir: str,
+    schema: str,
+    ts_col: str,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "2 hours",
+    run_id: str = "drift-stream",
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+    min_samples: int = MIN_SAMPLES,
+    js_threshold: float = 0.1,
+    psi_threshold: float = 0.2,
+):
+    """EVENT-TIME windowed drift vs a frozen profile — the
+    late-data-tolerant variant of :func:`stream_drift`.
+
+    The epoch streams score each MICRO-BATCH (arrival time); when rows
+    arrive out of order, a late row lands in the wrong epoch's verdict.
+    Here the binning expressions run against the frozen geometry as
+    before, but the counts aggregate under ``window(ts_col)`` with a
+    WATERMARK: Spark's state store holds each event-time window open
+    for ``watermark_delay`` past its end, merges late rows into their
+    proper window, and only then emits the window's cells (append
+    mode).  ``foreachBatch`` therefore receives FINALIZED windows only
+    — one O(nbins) driver computation per completed window, one sink
+    row per window at ``<out>/drift_metrics_windowed`` partitioned by
+    the window start (overwritten per window: replays stay idempotent).
+    Rows later than the watermark are dropped by Spark — the documented
+    trade of bounded state for bounded lateness.
+
+    AvailableNow caveat (inherent to watermark semantics, surfaces in
+    any engine): a window finalizes only when the watermark passes its
+    end, and the watermark only advances on ARRIVING data — the
+    newest window(s) of a drained backlog stay in the state store and
+    emit on the NEXT run once newer data arrives.  A monitoring
+    pipeline that needs the final partial window immediately should
+    read the epoch stream alongside.
+    """
+    column = profile["column"]
+    nbins, psi_nbins = profile["nbins"], profile["psi_nbins"]
+    mn, width = profile["mn"], profile["width"]
+    edges = profile["edges"]
+    sink = os.path.join(out_dir, "drift_metrics_windowed")
+    checkpoint = os.path.join(out_dir, "_drift_stream_windowed_checkpoint")
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    v = F.col(column).cast("double")
+    cells = (
+        reader.parquet(clips_dir)
+        .where(v.isNotNull() & F.col(ts_col).isNotNull())
+        .select(F.col(ts_col).alias("ts"), v.alias("v"))
+        .withWatermark("ts", watermark_delay)
+        .groupBy(
+            F.window("ts", window_duration).alias("w"),
+            _clamped_bin(F.col("v"), mn, width, nbins).alias("jb"),
+            _psi_bucket(F.col("v"), edges).alias("pb"),
+        )
+        .agg(
+            F.count("*").alias("c"),
+            F.sum("v").alias("s"),
+            F.sum(F.col("v") * F.col("v")).alias("ss"),
+        )
+    )
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        rows = batch_df.collect()  # finalized (window, jb, pb) cells only
+        by_w: dict = {}
+        for r in rows:
+            a = by_w.setdefault(
+                (r.w.start, r.w.end),
+                {
+                    "js": np.zeros(nbins), "psi": np.zeros(psi_nbins),
+                    "n": 0, "s": 0.0, "ss": 0.0,
+                },
+            )
+            a["js"][int(r.jb)] += r.c
+            a["psi"][int(r.pb)] += r.c
+            a["n"] += r.c
+            a["s"] += r.s
+            a["ss"] += r.ss
+        for (ws, we), a in sorted(by_w.items()):
+            n = a["n"]
+            mean = a["s"] / n if n else 0.0
+            var = (a["ss"] - n * mean * mean) / (n - 1) if n > 1 else 0.0
+            gated = n < min_samples
+            if gated:
+                m = {
+                    "js": 0.0, "psi": 0.0, "ks_d": 0.0,
+                    "t_stat": 0.0, "drift_score": 0.0,
+                }
+            else:
+                m = _binned_metrics(
+                    profile, a["js"], a["psi"], n, mean, var,
+                    js_threshold, psi_threshold,
+                )
+            row = [
+                (
+                    ws, we, run_id, int(n), float(mean),
+                    m["js"], m["psi"], m["ks_d"], m["t_stat"],
+                    m["drift_score"],
+                    bool(not gated and m["drift_score"] > 1.0),
+                    bool(gated),
+                )
+            ]
+            # one dir per finalized window, overwritten: a crash-replay
+            # of this foreachBatch rewrites identical content
+            spark.createDataFrame(row, WINDOWED_SINK_ROW_SCHEMA).write.mode(
+                "overwrite"
+            ).parquet(f"{sink}/w={int(ws.timestamp())}")
+
+    writer = (
+        cells.writeStream.outputMode("append")
+        .foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    if available_now:
+        q.awaitTermination()
+    return q
+
+
 def reference_profile_grouped(
     ref: DataFrame,
     keys: list[str],
