@@ -168,6 +168,41 @@ def main() -> None:
         ),
     }
 
+    # ---- 1d. event-time windowed drift ---------------------------------
+    # the clips table carries no event time; derive a deterministic one
+    # spanning ~8 hours and write a ts-augmented copy once (the windowed
+    # stream needs ts in the streamed schema).  16 windows of 30 min.
+    import pyspark.sql.functions as F
+
+    from llm_drift_detector_spark.streaming import stream_drift_windowed
+
+    wsrc = f"{scratch}/windowed_src"
+    (
+        spark.read.parquet(clips_dir)
+        .withColumn(
+            "ts",
+            F.timestamp_seconds(
+                F.lit(1_700_000_000) + (F.abs(F.xxhash64("clip_id")) % 28_800)
+            ),
+        )
+        .write.parquet(wsrc)
+    )
+    wschema = spark.read.parquet(wsrc).schema
+    t0 = time.time()
+    q = stream_drift_windowed(
+        spark, wsrc, prof, f"{scratch}/wdrift", schema=wschema, ts_col="ts",
+        window_duration="30 minutes", watermark_delay="30 minutes",
+        max_files_per_trigger=files_per_trigger,
+    )
+    wall = time.time() - t0
+    st = _trigger_stats(_progress_list(q))
+    n_windows = spark.read.parquet(f"{scratch}/wdrift/drift_metrics_windowed").count()
+    results["stream_drift_windowed"] = {
+        **st, "wall_s": round(wall, 2),
+        "rows_per_sec": int(st["rows"] / wall) if wall else 0,
+        "finalized_windows": int(n_windows),
+    }
+
     # ---- 2. embedding drift stream (transcripts backlog) -------------
     eprof = embedding_reference_profile(tr_ref, "embedding")
     t0 = time.time()
