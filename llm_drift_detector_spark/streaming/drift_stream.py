@@ -451,6 +451,36 @@ def stream_drift(
 
 MULTI_SINK_ROW_SCHEMA = "column string, " + _SINK_ROW_SCHEMA
 
+_ZERO_METRICS = {
+    "js": 0.0, "psi": 0.0, "ks_d": 0.0, "t_stat": 0.0, "drift_score": 0.0,
+}
+
+
+def _cell_verdict(
+    profile_cell: dict,
+    a: dict,
+    min_samples: int,
+    js_threshold: float,
+    psi_threshold: float,
+) -> tuple:
+    """(n, mean, metrics, gated) from one cell accumulator
+    {js, psi, n, s, ss} — the shared verdict assembly of every
+    variant's foreachBatch (one definition so a contract change cannot
+    silently diverge between the grouped/multi/matrix/windowed
+    copies)."""
+    n = a["n"]
+    mean = a["s"] / n if n else 0.0
+    var = (a["ss"] - n * mean * mean) / (n - 1) if n > 1 else 0.0
+    gated = n < min_samples
+    if gated:
+        m = dict(_ZERO_METRICS)
+    else:
+        m = _binned_metrics(
+            profile_cell, a["js"], a["psi"], n, mean, var,
+            js_threshold, psi_threshold,
+        )
+    return n, mean, m, gated
+
 
 def reference_profile_multi(
     ref: DataFrame,
@@ -698,21 +728,10 @@ def stream_drift_multi(
             a["ss"] += r.ss
         out_rows = []
         for c in columns:
-            a = per_col[c]
-            n = a["n"]
-            mean = a["s"] / n if n else 0.0
-            var = (a["ss"] - n * mean * mean) / (n - 1) if n > 1 else 0.0
-            gated = n < min_samples
-            if gated:
-                m = {
-                    "js": 0.0, "psi": 0.0, "ks_d": 0.0,
-                    "t_stat": 0.0, "drift_score": 0.0,
-                }
-            else:
-                m = _binned_metrics(
-                    profiles[c], a["js"], a["psi"], n, mean, var,
-                    js_threshold, psi_threshold,
-                )
+            n, mean, m, gated = _cell_verdict(
+                profiles[c], per_col[c], min_samples,
+                js_threshold, psi_threshold,
+            )
             out_rows.append(
                 (
                     c, run_id, int(n), float(mean),
@@ -812,11 +831,19 @@ def stream_drift_windowed(
     )
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
-        rows = batch_df.collect()  # finalized (window, jb, pb) cells only
+        # finalized (window, jb, pb) cells only; window bounds collect
+        # as epoch-second LONGS — naive driver datetimes are ambiguous
+        # across a DST fall-back (two UTC windows could render equal
+        # and silently merge)
+        rows = batch_df.select(
+            F.col("w.start").cast("long").alias("ws"),
+            F.col("w.end").cast("long").alias("we"),
+            "jb", "pb", "c", "s", "ss",
+        ).collect()
         by_w: dict = {}
         for r in rows:
             a = by_w.setdefault(
-                (r.w.start, r.w.end),
+                (int(r.ws), int(r.we)),
                 {
                     "js": np.zeros(nbins), "psi": np.zeros(psi_nbins),
                     "n": 0, "s": 0.0, "ss": 0.0,
@@ -827,22 +854,12 @@ def stream_drift_windowed(
             a["n"] += r.c
             a["s"] += r.s
             a["ss"] += r.ss
+        out_rows = []
         for (ws, we), a in sorted(by_w.items()):
-            n = a["n"]
-            mean = a["s"] / n if n else 0.0
-            var = (a["ss"] - n * mean * mean) / (n - 1) if n > 1 else 0.0
-            gated = n < min_samples
-            if gated:
-                m = {
-                    "js": 0.0, "psi": 0.0, "ks_d": 0.0,
-                    "t_stat": 0.0, "drift_score": 0.0,
-                }
-            else:
-                m = _binned_metrics(
-                    profile, a["js"], a["psi"], n, mean, var,
-                    js_threshold, psi_threshold,
-                )
-            row = [
+            n, mean, m, gated = _cell_verdict(
+                profile, a, min_samples, js_threshold, psi_threshold
+            )
+            out_rows.append(
                 (
                     ws, we, run_id, int(n), float(mean),
                     m["js"], m["psi"], m["ks_d"], m["t_stat"],
@@ -850,12 +867,29 @@ def stream_drift_windowed(
                     bool(not gated and m["drift_score"] > 1.0),
                     bool(gated),
                 )
-            ]
-            # one dir per finalized window, overwritten: a crash-replay
-            # of this foreachBatch rewrites identical content
-            spark.createDataFrame(row, WINDOWED_SINK_ROW_SCHEMA).write.mode(
-                "overwrite"
-            ).parquet(f"{sink}/w={int(ws.timestamp())}")
+            )
+        if not out_rows:
+            return
+        # ONE write for all finalized windows of the batch: dynamic
+        # partition overwrite replaces exactly the written windows'
+        # partitions (a crash-replay rewrites identical content), with
+        # one job instead of one per window
+        (
+            spark.createDataFrame(
+                out_rows, "ws bigint, we bigint, " + _SINK_ROW_SCHEMA
+            )
+            .select(
+                F.timestamp_seconds("ws").alias("window_start"),
+                F.timestamp_seconds("we").alias("window_end"),
+                "run_id", "n", "batch_mean", "js", "psi", "ks_d",
+                "t_stat", "drift_score", "drift_detected", "gated",
+                F.col("ws").alias("w"),
+            )
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("w")
+            .parquet(sink)
+        )
 
     writer = (
         cells.writeStream.outputMode("append")
@@ -1072,17 +1106,9 @@ def stream_drift_grouped(
             a["ss"] += r.ss
         out_rows = []
         for g, a in sorted(acc.items()):
-            n = a["n"]
-            mean = a["s"] / n if n else 0.0
-            var = (a["ss"] - n * mean * mean) / (n - 1) if n > 1 else 0.0
-            gated = n < min_samples
-            if gated:
-                m = {"js": 0.0, "psi": 0.0, "ks_d": 0.0, "t_stat": 0.0, "drift_score": 0.0}
-            else:
-                m = _binned_metrics(
-                    profiles[g], a["js"], a["psi"], n, mean, var,
-                    js_threshold, psi_threshold,
-                )
+            n, mean, m, gated = _cell_verdict(
+                profiles[g], a, min_samples, js_threshold, psi_threshold
+            )
             out_rows.append(
                 (
                     *g,
@@ -1487,20 +1513,9 @@ def stream_drift_multi_grouped(
             a["ss"] += r.ss
         out_rows = []
         for (g, c), a in sorted(acc.items()):
-            n = a["n"]
-            mean = a["s"] / n if n else 0.0
-            var = (a["ss"] - n * mean * mean) / (n - 1) if n > 1 else 0.0
-            gated = n < min_samples
-            if gated:
-                m = {
-                    "js": 0.0, "psi": 0.0, "ks_d": 0.0,
-                    "t_stat": 0.0, "drift_score": 0.0,
-                }
-            else:
-                m = _binned_metrics(
-                    profiles[g][c], a["js"], a["psi"], n, mean, var,
-                    js_threshold, psi_threshold,
-                )
+            n, mean, m, gated = _cell_verdict(
+                profiles[g][c], a, min_samples, js_threshold, psi_threshold
+            )
             out_rows.append(
                 (
                     *g, c, run_id, int(n), float(mean),

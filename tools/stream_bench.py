@@ -170,36 +170,56 @@ def main() -> None:
 
     # ---- 1d. event-time windowed drift ---------------------------------
     # the clips table carries no event time; derive a deterministic one
-    # spanning ~8 hours and write a ts-augmented copy once (the windowed
-    # stream needs ts in the streamed schema).  16 windows of 30 min.
+    # spanning ~8 hours (16 windows of 30 min) and — crucially — write
+    # the source files IN EVENT-TIME ORDER (one file per window,
+    # sequential writes: maxFilesPerTrigger consumes files by mod-time,
+    # so arrival order tracks event order like a real ingest).  A
+    # hash-ordered copy would put near-max timestamps in batch 0, jump
+    # the watermark to the end, and drop ~94% of the backlog as
+    # too-late — a drain that "finishes fast" by not doing the work.
+    # Columns pruned to what the stream scans: payload bytes never copy.
     import pyspark.sql.functions as F
 
     from llm_drift_detector_spark.streaming import stream_drift_windowed
 
     wsrc = f"{scratch}/windowed_src"
-    (
-        spark.read.parquet(clips_dir)
-        .withColumn(
-            "ts",
-            F.timestamp_seconds(
-                F.lit(1_700_000_000) + (F.abs(F.xxhash64("clip_id")) % 28_800)
-            ),
-        )
-        .write.parquet(wsrc)
+    ts_expr = F.timestamp_seconds(
+        F.lit(1_700_000_000) + (F.abs(F.xxhash64("clip_id")) % 28_800)
     )
-    wschema = spark.read.parquet(wsrc).schema
+    wbase = (
+        spark.read.parquet(clips_dir)
+        .select("clip_id", "dur_ms", ts_expr.alias("ts"))
+    )
+    for wi in range(16):
+        lo, hi = 1_700_000_000 + wi * 1800, 1_700_000_000 + (wi + 1) * 1800
+        (
+            wbase.where(
+                (F.col("ts") >= F.timestamp_seconds(F.lit(lo)))
+                & (F.col("ts") < F.timestamp_seconds(F.lit(hi)))
+            )
+            .coalesce(2)
+            .write.parquet(f"{wsrc}/f{wi:02d}")
+        )
+        time.sleep(0.05)  # distinct mtimes -> deterministic file order
+    wschema = spark.read.parquet(wsrc + "/f*").schema
+    n_wrows = spark.read.parquet(wsrc + "/f*").count()
     t0 = time.time()
     q = stream_drift_windowed(
-        spark, wsrc, prof, f"{scratch}/wdrift", schema=wschema, ts_col="ts",
+        spark, wsrc + "/f*", prof, f"{scratch}/wdrift",
+        schema=wschema, ts_col="ts",
         window_duration="30 minutes", watermark_delay="30 minutes",
         max_files_per_trigger=files_per_trigger,
     )
     wall = time.time() - t0
     st = _trigger_stats(_progress_list(q))
-    n_windows = spark.read.parquet(f"{scratch}/wdrift/drift_metrics_windowed").count()
+    wsink = spark.read.parquet(f"{scratch}/wdrift/drift_metrics_windowed")
+    n_windows = wsink.count()
+    rows_scored = wsink.agg(F.sum("n")).collect()[0][0] or 0
     results["stream_drift_windowed"] = {
         **st, "wall_s": round(wall, 2),
         "rows_per_sec": int(st["rows"] / wall) if wall else 0,
+        "backlog_rows": int(n_wrows),
+        "rows_in_finalized_windows": int(rows_scored),
         "finalized_windows": int(n_windows),
     }
 
