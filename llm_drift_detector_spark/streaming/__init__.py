@@ -10,6 +10,7 @@ from .drift_stream import (  # noqa: F401
     stream_drift_multi,
     stream_drift_multi_grouped,
     stream_drift_windowed,
+    stream_drift_windowed_grouped,
     update_reference_profile,
     update_reference_profile_grouped,
     update_reference_profile_multi,

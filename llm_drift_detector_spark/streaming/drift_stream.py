@@ -1561,6 +1561,158 @@ def stream_drift_multi_grouped(
     return q
 
 
+def stream_drift_windowed_grouped(
+    spark: SparkSession,
+    clips_dir: str,
+    profile: dict,
+    out_dir: str,
+    schema: str,
+    ts_col: str,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "2 hours",
+    run_id: str = "drift-stream",
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+    min_samples: int = MIN_SAMPLES,
+    js_threshold: float = 0.1,
+    psi_threshold: float = 0.2,
+):
+    """Event-time windowed drift PER GROUP — the windowed x grouped
+    cell of the variant matrix, composed from the existing pieces:
+    the grouped geometry broadcast join (rows bin against their OWN
+    group's frozen range; unknown groups get NULL bins and ride the
+    same aggregate) feeds a watermarked ``window(ts) x keys``
+    aggregation, so late rows merge into the right (window, group)
+    cell and ``foreachBatch`` sees finalized cells only.  One sink row
+    per (window, group) at ``<out>/drift_metrics_windowed_grouped``
+    (+ a NULL-keyed ``unknown_group`` row per window carrying that
+    window's unknown-row count); per-window dynamic partition
+    overwrite keeps replays idempotent.  ``profile`` comes from
+    :func:`reference_profile_grouped`; the AvailableNow newest-window
+    caveat of :func:`stream_drift_windowed` applies unchanged.
+    """
+    column = profile["column"]
+    keys = profile["keys"]
+    nbins, psi_nbins = profile["nbins"], profile["psi_nbins"]
+    profiles = profile["profiles"]
+    sink = os.path.join(out_dir, "drift_metrics_windowed_grouped")
+    checkpoint = os.path.join(
+        out_dir, "_drift_stream_windowed_grouped_checkpoint"
+    )
+    out_schema = (
+        "ws bigint, we bigint, "
+        + ", ".join(f"{k} string" for k in keys)
+        + ", " + _SINK_ROW_SCHEMA + ", gated_reason string"
+    )
+    pframe = _profiles_frame(spark, keys, profiles)
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    v = F.col(column).cast("double")
+    cells = (
+        reader.parquet(clips_dir)
+        .where(v.isNotNull() & F.col(ts_col).isNotNull())
+        .select(
+            *[F.col(k).cast("string").alias(k) for k in keys],
+            F.col(ts_col).alias("ts"),
+            v.alias("v"),
+        )
+        .join(F.broadcast(pframe), keys, "left")
+        .withWatermark("ts", watermark_delay)
+        .groupBy(
+            F.window("ts", window_duration).alias("w"),
+            *keys,
+            _grouped_js_bin(nbins).alias("jb"),
+            _grouped_psi_bucket().alias("pb"),
+        )
+        .agg(
+            F.count("*").alias("c"),
+            F.sum("v").alias("s"),
+            F.sum(F.col("v") * F.col("v")).alias("ss"),
+        )
+    )
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        rows = batch_df.select(
+            F.col("w.start").cast("long").alias("ws"),
+            F.col("w.end").cast("long").alias("we"),
+            *keys, "jb", "pb", "c", "s", "ss",
+        ).collect()
+        acc: dict = {}
+        unknown: dict = {}
+        for r in rows:
+            wk = (int(r.ws), int(r.we))
+            g = tuple(r[k] for k in keys)
+            if g not in profiles:
+                unknown[wk] = unknown.get(wk, 0) + int(r.c)
+                continue
+            a = acc.setdefault(
+                (wk, g),
+                {
+                    "js": np.zeros(nbins), "psi": np.zeros(psi_nbins),
+                    "n": 0, "s": 0.0, "ss": 0.0,
+                },
+            )
+            a["js"][int(r.jb)] += r.c
+            a["psi"][int(r.pb)] += r.c
+            a["n"] += r.c
+            a["s"] += r.s
+            a["ss"] += r.ss
+        out_rows = []
+        for (wk, g), a in sorted(acc.items()):
+            n, mean, m, gated = _cell_verdict(
+                profiles[g], a, min_samples, js_threshold, psi_threshold
+            )
+            out_rows.append(
+                (
+                    *wk, *g, run_id, int(n), float(mean),
+                    m["js"], m["psi"], m["ks_d"], m["t_stat"],
+                    m["drift_score"],
+                    bool(not gated and m["drift_score"] > 1.0),
+                    bool(gated),
+                    "min_samples" if gated else None,
+                )
+            )
+        for wk, c in sorted(unknown.items()):
+            out_rows.append(
+                (
+                    *wk, *([None] * len(keys)),
+                    run_id, int(c), 0.0,
+                    0.0, 0.0, 0.0, 0.0, 0.0, False, True, "unknown_group",
+                )
+            )
+        if not out_rows:
+            return
+        (
+            spark.createDataFrame(out_rows, out_schema)
+            .select(
+                F.timestamp_seconds("ws").alias("window_start"),
+                F.timestamp_seconds("we").alias("window_end"),
+                *keys, "run_id", "n", "batch_mean", "js", "psi", "ks_d",
+                "t_stat", "drift_score", "drift_detected", "gated",
+                "gated_reason",
+                F.col("ws").alias("w"),
+            )
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("w")
+            .parquet(sink)
+        )
+
+    writer = (
+        cells.writeStream.outputMode("append")
+        .foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    if available_now:
+        q.awaitTermination()
+    return q
+
+
 def save_profile(profile: dict, path: str) -> None:
     """Persist a frozen profile (global or grouped) as JSON.
 

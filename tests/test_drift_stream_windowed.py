@@ -130,3 +130,76 @@ def test_windowed_metrics_match_epoch_stream_on_aligned_data(spark, tmp_path):
             assert w[f] == pytest.approx(e[f], abs=1e-12), f
         assert w.drift_detected == e.drift_detected
     assert wrows[1].drift_detected and not wrows[0].drift_detected
+
+
+def test_windowed_grouped_flags_one_cell_and_merges_late(spark, tmp_path):
+    """Windowed x grouped: late rows merge into their (window, group)
+    cell, only the shifted cell flags, unknown providers surface as a
+    NULL-keyed per-window row."""
+    from llm_drift_detector_spark.streaming import (
+        reference_profile_grouped,
+        stream_drift_windowed_grouped,
+    )
+
+    gddl = "provider string, ts timestamp, x double"
+
+    def grows(g, hhmm_list, shift=0.0):
+        return [(g, t, x + shift) for t, x in _rows(hhmm_list)]
+
+    ref = spark.createDataFrame(
+        [(g, datetime(2024, 1, 1), float(100 + (i % 13)))
+         for g in ("a", "b") for i in range(200)],
+        gddl,
+    )
+    prof = reference_profile_grouped(ref, ["provider"], "x")
+    src, out = str(tmp_path / "src"), str(tmp_path / "out")
+
+    # b0: w0 clean for both groups; w1 SHIFTED for group b only
+    b0 = (
+        grows("a", [f"00:{10 + i % 45:02d}" for i in range(30)])
+        + grows("b", [f"00:{10 + i % 45:02d}" for i in range(30)])
+        + grows("a", [f"01:{5 + i % 50:02d}" for i in range(30)])
+        + grows("b", [f"01:{5 + i % 50:02d}" for i in range(30)], shift=700.0)
+    )
+    # b1: LATE w0 rows for group a + unknown provider in w0's watermark
+    # span + advancer rows
+    b1 = (
+        grows("a", ["00:30"] * 15)
+        + grows("zzz", ["00:45"] * 4)
+        + grows("a", ["04:00"] * 3)
+        + grows("b", ["04:00"] * 3)
+    )
+    for i, rows in enumerate([b0, b1]):
+        spark.createDataFrame(rows, gddl).coalesce(1).write.parquet(
+            f"{src}/b{i}"
+        )
+    # extra drain with newer data so w0/w1 definitely finalize
+    stream_drift_windowed_grouped(
+        spark, src + "/b*", prof, out, schema=gddl, ts_col="ts",
+        window_duration="1 hour", watermark_delay="90 minutes",
+        max_files_per_trigger=1,
+    )
+    spark.createDataFrame(
+        grows("a", ["08:00"] * 2), gddl
+    ).coalesce(1).write.parquet(f"{src}/b2")
+    stream_drift_windowed_grouped(
+        spark, src + "/b*", prof, out, schema=gddl, ts_col="ts",
+        window_duration="1 hour", watermark_delay="90 minutes",
+        max_files_per_trigger=1,
+    )
+
+    got = {
+        (r.window_start.hour, r.provider): r
+        for r in spark.read.parquet(
+            f"{out}/drift_metrics_windowed_grouped"
+        ).collect()
+    }
+    assert got[(0, "a")].n == 45  # 30 on time + 15 late merged
+    assert not got[(0, "a")].drift_detected
+    assert got[(0, "b")].n == 30 and not got[(0, "b")].drift_detected
+    assert got[(1, "a")].n == 30 and not got[(1, "a")].drift_detected
+    assert got[(1, "b")].drift_detected  # the one shifted cell
+    unk = got[(0, None)]
+    assert unk.gated_reason == "unknown_group" and unk.n == 4
+    # tail advancer windows gate on min_samples
+    assert got[(4, "a")].gated_reason == "min_samples"
