@@ -66,6 +66,10 @@ from ..config import CODEC_WHITELIST, DUR_MS_TOLERANCE, SNR_DB_MIN
 
 AUDIO_VIOLATIONS_SCHEMA = "clip_id string, check_name string, detail string"
 
+# marker check_name for SNR-candidate rows inside the fused eager pass —
+# never escapes audio_invariant_violations
+_DIFFERING = "__differing__"
+
 _BYTES_PER_SAMPLE = {"pcm_s16le": 2, "opus": 1}  # length-derivable codecs
 
 
@@ -306,6 +310,8 @@ def audio_invariant_violations(
     snr_mode: str = "hash_shortcut",
     max_fetch_ids: int = 1_000,
     reference_hashes: DataFrame | None = None,
+    salted: bool = False,
+    max_collected_violations: int = 200_000,
 ) -> DataFrame:
     """Violation rows (clip_id, check_name, detail) from the decode checks.
 
@@ -333,6 +339,19 @@ def audio_invariant_violations(
     per slice.  Only the hash_shortcut candidate join consumes it; the
     targeted payload fetch still goes to ``reference`` (pruned by the
     pushed-down id filter).
+
+    ``salted`` (default False): repartition the Python decode input by
+    ``xxhash64(clip_id, salt)`` before the decoder.  File-split scan
+    partitions (and, in deep mode, the hash-partitioned join output) are
+    already byte-/count-uniform, so the default skips the exchange — it
+    moved every payload byte through a shuffle for no placement gain.
+    Enable for physically skewed inputs (one giant unsplittable file, a
+    store clustered so long clips share few splits).
+
+    ``max_collected_violations``: ceiling on the fused native-dur +
+    differing-candidate verdict rows pulled to the driver; past it the
+    plan falls back to the fully-lazy round-5 shape (correct at any
+    violation rate, extra payload scans).
     """
     cur = clips.select("clip_id", "bytes", "sr_hz", "dur_ms", "codec")
 
@@ -355,19 +374,20 @@ def audio_invariant_violations(
     )
     implied_ms = n_samples * 1000.0 / F.col("sr_hz")
     fast_codecs = list(_BYTES_PER_SAMPLE)
-    native_dur = (
-        cur.where(F.col("codec").isin(fast_codecs) | wav_native)
-        .where(
-            F.col("sr_hz").isNull()
-            | (F.abs(F.col("dur_ms") - implied_ms) > DUR_MS_TOLERANCE)
-        )
-        .select(
-            "clip_id",
-            F.lit("dur_ms_mismatch").alias("check_name"),
-            F.to_json(
-                F.struct(F.col("dur_ms"), F.round(implied_ms, 3).alias("implied_ms"))
-            ).alias("detail"),
-        )
+    # Same predicate/detail as the round-5 native_dur branch, as reusable
+    # columns: the fused pass (hash_shortcut) and the lazy fallback both
+    # emit exactly these.
+    native_viol_cond = (F.col("codec").isin(fast_codecs) | wav_native) & (
+        F.col("sr_hz").isNull()
+        | (F.abs(F.col("dur_ms") - implied_ms) > DUR_MS_TOLERANCE)
+    )
+    native_detail = F.to_json(
+        F.struct(F.col("dur_ms"), F.round(implied_ms, 3).alias("implied_ms"))
+    )
+    native_dur = cur.where(native_viol_cond).select(
+        "clip_id",
+        F.lit("dur_ms_mismatch").alias("check_name"),
+        native_detail.alias("detail"),
     )
 
     n = int(n_partitions or clips.sparkSession.conf.get("spark.sql.shuffle.partitions"))
@@ -380,8 +400,12 @@ def audio_invariant_violations(
         pairs = cur.where(F.col("codec").isin(list(CODEC_WHITELIST))).join(
             ref_payloads, "clip_id", "left"
         )
-        salted_pairs = pairs.repartition(n, F.xxhash64("clip_id", F.lit(salt)))
-        deep_viol = salted_pairs.mapInArrow(
+        if salted:
+            # see the `salted` docstring note: the equi-join's output is
+            # already hash-partitioned by clip_id (count-uniform), so the
+            # extra payload-bytes exchange is opt-in.
+            pairs = pairs.repartition(n, F.xxhash64("clip_id", F.lit(salt)))
+        deep_viol = pairs.mapInArrow(
             _deep_validate_arrow, schema=AUDIO_VIOLATIONS_SCHEMA
         )
         return native_dur.unionByName(deep_viol)
@@ -392,39 +416,124 @@ def audio_invariant_violations(
     needs_decode = cur.where(
         (F.col("codec") == "flac") | ((F.col("codec") == "wav") & ~wav_canonical_pred())
     ).select("clip_id", "bytes", "sr_hz", "dur_ms", "codec")
-    needs_decode = needs_decode.repartition(n, F.xxhash64("clip_id", F.lit(salt)))
+    if salted:
+        # Optional decode-cost rebalance.  File-split scan partitions are
+        # byte-uniform (maxPartitionBytes), so decode work per task is
+        # already even and the default skips this exchange — it shuffles
+        # the full flac/wav payload bytes once for no placement gain
+        # (guide §2.4: remove shuffles outright when the data is already
+        # partitioned as needed).  Pass ``salted=True`` when the input's
+        # physical layout IS skewed (e.g. one giant unsplittable file or
+        # a store sorted so long clips cluster in few splits).
+        needs_decode = needs_decode.repartition(n, F.xxhash64("clip_id", F.lit(salt)))
     flac_viol = needs_decode.mapInArrow(_decoded_dur_arrow, schema=AUDIO_VIOLATIONS_SCHEMA)
 
-    # --- 2. hash-only join: SNR candidates without shuffling payloads ---
-    ch = cur.select(
-        "clip_id", "codec", F.xxhash64("bytes").alias("h")
-    )
+    # --- 2. ONE fused pass over (clips bytes ⋈ reference hashes): the
+    # native dur_ms verdicts AND the differing-payload SNR candidates
+    # come out of the same scan + hash-only join (guide §2.3/§2.4 —
+    # everything per-row the JVM can derive from the payload happens in
+    # the single pass that hashes it; payloads never shuffle, the join
+    # moves ~50 bytes/row).  Both outputs are violation-rate-small, so
+    # one eager collect drives the targeted fetch below AND returns the
+    # native verdicts without re-scanning payloads (the previous shape
+    # re-scanned clips bytes for native_dur, and above the In-pushdown
+    # cap recomputed the whole hash-join subtree once per broadcast —
+    # 6 full payload scans per run; this shape does 2 + the fetch).
     rh = (
         reference_hashes
         if reference_hashes is not None
         else reference.select("clip_id", F.xxhash64("bytes").alias("rh"))
     )
+    narrow = cur.select(
+        "clip_id",
+        "codec",
+        F.xxhash64("bytes").alias("h"),
+        native_viol_cond.alias("__nd"),
+        native_detail.alias("__nd_detail"),
+    )
+    differing_cond = (
+        F.col("rh").isNotNull()
+        & (F.col("h") != F.col("rh"))
+        & F.col("codec").isin(list(CODEC_WHITELIST))
+    )
+    marks = F.array(
+        F.when(F.col("__nd"), F.struct(F.lit("dur_ms_mismatch").alias("check_name"), F.col("__nd_detail").alias("detail"))),
+        F.when(differing_cond, F.struct(F.lit(_DIFFERING).alias("check_name"), F.lit(None).cast("string").alias("detail"))),
+    )
+    fused = (
+        narrow.join(rh, "clip_id", "left")
+        .select("clip_id", F.explode(F.filter(marks, lambda x: x.isNotNull())).alias("m"))
+        .select("clip_id", F.col("m.check_name").alias("check_name"), F.col("m.detail").alias("detail"))
+    )
+    spark = clips.sparkSession
+    fused_rows = fused.limit(max_collected_violations + 1).collect()
+    if len(fused_rows) > max_collected_violations:
+        # Violation-dominated input: the collected-verdict shape would
+        # pull too much to the driver.  Fall back to the fully-lazy plan
+        # (native_dur branch + broadcast-subtree fetch) — correct at any
+        # violation rate, just re-scans payloads.
+        return _audio_invariants_lazy_fallback(
+            cur, reference, rh, native_dur, flac_viol, max_fetch_ids
+        )
+    native_rows = [
+        (r.clip_id, r.check_name, r.detail)
+        for r in fused_rows
+        if r.check_name != _DIFFERING
+    ]
+    # distinct, insertion-ordered: duplicate clip_ids (uniqueness
+    # violations) may each flag, but a repeated id in the broadcast
+    # fetch frame would fan the join out and duplicate SNR verdicts
+    ids = list(dict.fromkeys(r.clip_id for r in fused_rows if r.check_name == _DIFFERING))
+    native_dur_df = spark.createDataFrame(native_rows, AUDIO_VIOLATIONS_SCHEMA)
+
+    # --- 4. targeted payload fetch for the differing rows only ---
+    # Small id set (<= the session's parquet In-pushdown threshold, see
+    # session.py): push an isin() literal so the scan gets PushedFilters
+    # In(clip_id, ...).  Larger set: broadcast a literal id frame built
+    # from the ALREADY-COLLECTED ids — unlike broadcasting the
+    # differing-ids *plan*, this never re-executes the hash join (the
+    # old fallback recomputed it twice, once per fetch side).
+    if len(ids) <= max_fetch_ids:
+        fetch_cur = cur.where(F.col("clip_id").isin(ids))
+        fetch_ref = reference.select(
+            "clip_id",
+            F.col("bytes").alias("ref_bytes"),
+            F.col("codec").alias("ref_codec"),
+        ).where(F.col("clip_id").isin(ids))
+    else:
+        ids_df = spark.createDataFrame([(i,) for i in ids], "clip_id string")
+        fetch_cur = cur.join(F.broadcast(ids_df), "clip_id")
+        fetch_ref = reference.select(
+            "clip_id",
+            F.col("bytes").alias("ref_bytes"),
+            F.col("codec").alias("ref_codec"),
+        ).join(F.broadcast(ids_df), "clip_id")
+    pairs = fetch_cur.join(fetch_ref, "clip_id")
+    snr_viol = pairs.mapInArrow(_snr_arrow, schema=AUDIO_VIOLATIONS_SCHEMA)
+
+    return native_dur_df.unionByName(flac_viol).unionByName(snr_viol)
+
+
+def _audio_invariants_lazy_fallback(
+    cur: DataFrame,
+    reference: DataFrame,
+    rh: DataFrame,
+    native_dur: DataFrame,
+    flac_viol: DataFrame,
+    max_fetch_ids: int,
+) -> DataFrame:
+    """Round-5 lazy plan shape, kept for violation-dominated inputs where
+    collecting the fused verdicts would flood the driver: native_dur as a
+    distributed branch, differing ids as a broadcast subquery per fetch
+    side.  Costs extra payload scans; only reached past
+    ``max_collected_violations``."""
+    ch = cur.select("clip_id", "codec", F.xxhash64("bytes").alias("h"))
     differing_ids = (
         ch.join(rh, "clip_id", "inner")
         .where(F.col("codec").isin(list(CODEC_WHITELIST)) & (F.col("h") != F.col("rh")))
         .select("clip_id")
         .distinct()
     )
-
-    # --- 4. targeted payload fetch for the differing rows only ---
-    # A broadcast join does NOT push ids into the parquet scan, so the
-    # fetch re-reads the full payload column a third time.  When the
-    # differing set is small (it is the table's violation rate — the
-    # expected case), collect the ids and push an isin() literal filter
-    # instead: Catalyst emits PushedFilters In(clip_id, ...) and the scan
-    # prunes to the row groups containing violators.  The cap matches the
-    # session's spark.sql.parquet.pushdown.inFilterThreshold (1000): past
-    # that threshold Parquet degrades the In list to a min/max range
-    # predicate (pruning largely evaporates, the literal bloats plan
-    # serialization), and a much larger pushed list is a linearly nested
-    # OR tree in parquet-mr that overflows the executor stack — above
-    # the cap the broadcast join is genuinely the better plan, so fall
-    # back to it.
     id_rows = differing_ids.limit(max_fetch_ids + 1).collect()
     if len(id_rows) <= max_fetch_ids:
         ids = [r.clip_id for r in id_rows]
@@ -443,7 +552,6 @@ def audio_invariant_violations(
         ).join(F.broadcast(differing_ids), "clip_id")
     pairs = fetch_cur.join(fetch_ref, "clip_id")
     snr_viol = pairs.mapInArrow(_snr_arrow, schema=AUDIO_VIOLATIONS_SCHEMA)
-
     return native_dur.unionByName(flac_viol).unionByName(snr_viol)
 
 
