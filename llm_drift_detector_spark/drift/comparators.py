@@ -50,20 +50,29 @@ def rice_bins(n_total: int, cap: int = HISTOGRAM_MAX_BINS) -> int:
 
 
 def shared_range(ref: DataFrame, cur: DataFrame, column: str) -> tuple[float, float, int, int]:
-    """Global [min,max] + per-side counts — pass 1 of the histogram."""
-    a = ref.agg(
-        F.min(F.col(column).cast("double")).alias("mn"),
-        F.max(F.col(column).cast("double")).alias("mx"),
-        F.count(column).alias("n"),
+    """Global [min,max] + per-side counts — pass 1 of the histogram.
+
+    ONE aggregate over the tagged union (was two separate actions — half
+    the driver round-trips for every two-pass comparator; guide §1.2:
+    fewer passes first).  Global min/max over the union equals the
+    min/max of the per-side values, and the per-side conditional counts
+    are exactly the old per-frame ``F.count(column)``.
+    """
+    c = F.col(column).cast("double")
+    u = ref.select(c.alias("v"), F.lit(1).alias("is_ref")).unionAll(
+        cur.select(c.alias("v"), F.lit(0).alias("is_ref"))
+    )
+    row = u.agg(
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+        F.count(F.when(F.col("is_ref") == 1, F.col("v"))).alias("n_ref"),
+        F.count(F.when(F.col("is_ref") == 0, F.col("v"))).alias("n_cur"),
     ).collect()[0]
-    b = cur.agg(
-        F.min(F.col(column).cast("double")).alias("mn"),
-        F.max(F.col(column).cast("double")).alias("mx"),
-        F.count(column).alias("n"),
-    ).collect()[0]
-    mn = min(x for x in (a.mn, b.mn) if x is not None)
-    mx = max(x for x in (a.mx, b.mx) if x is not None)
-    return mn, mx, int(a.n), int(b.n)
+    if row.mn is None:
+        # both sides empty/all-null: same contract as the old
+        # min()-of-empty-sequence
+        raise ValueError("shared_range: no non-null values on either side")
+    return float(row.mn), float(row.mx), int(row.n_ref), int(row.n_cur)
 
 
 def _bucket(col, mn: float, w: float, nbins: int):
@@ -102,18 +111,26 @@ def histogram_probs(
     w = (mx - mn) / nbins
     spark = ref.sparkSession
 
-    def side_counts(df: DataFrame, name: str) -> DataFrame:
-        return (
-            df.where(F.col(column).isNotNull())
-            .groupBy(_bucket(F.col(column), mn, w, nbins).alias("bin"))
-            .agg(F.count("*").alias(name))
+    # BOTH sides' bin counts from ONE pass over the tagged union (the
+    # old per-side groupBys scanned each input separately), and the
+    # <=nbins-row count frame is broadcast against the bins spine — the
+    # planner's estimate for an aggregate over a big scan is far above
+    # the auto-broadcast threshold, so without the hint this 213-row
+    # join ran as a sort-merge with two extra exchanges (guide §3.1).
+    u = ref.select(F.col(column).alias("v"), F.lit(1).alias("is_ref")).unionAll(
+        cur.select(F.col(column).alias("v"), F.lit(0).alias("is_ref"))
+    )
+    side_counts = (
+        u.where(F.col("v").isNotNull())
+        .groupBy(_bucket(F.col("v"), mn, w, nbins).alias("bin"))
+        .agg(
+            F.count(F.when(F.col("is_ref") == 1, True)).alias("cr"),
+            F.count(F.when(F.col("is_ref") == 0, True)).alias("cc"),
         )
-
+    )
     bins = spark.range(nbins).select(F.col("id").cast("int").alias("bin"))
-    joined = (
-        bins.join(side_counts(ref, "cr"), "bin", "left")
-        .join(side_counts(cur, "cc"), "bin", "left")
-        .fillna(0, subset=["cr", "cc"])
+    joined = bins.join(F.broadcast(side_counts), "bin", "left").fillna(
+        0, subset=["cr", "cc"]
     )
     # density = count / (n * w); add eps; normalize by the side's sum
     dens_r = F.col("cr") / F.lit(float(n_ref) * w) + F.lit(EPS)
@@ -191,23 +208,27 @@ def psi_frame(
     spark = ref.sparkSession
     if not edges:
         return spark.range(1).select(F.lit(0.0).alias("psi"))
-    v = F.col(column).cast("double")
+    v = F.col("v").cast("double")
     bucket = sum(
         ((v > F.lit(e)).cast("int") for e in edges), F.lit(0)
     ).alias("bin")
 
-    def side_probs(df: DataFrame, cname: str):
-        return (
-            df.where(v.isNotNull())
-            .groupBy(bucket)
-            .agg(F.count("*").alias(cname))
+    # one pass over the tagged union for both sides' bucket counts +
+    # broadcast against the bins spine (see histogram_probs)
+    u = ref.select(F.col(column).alias("v"), F.lit(1).alias("is_ref")).unionAll(
+        cur.select(F.col(column).alias("v"), F.lit(0).alias("is_ref"))
+    )
+    side_probs = (
+        u.where(v.isNotNull())
+        .groupBy(bucket)
+        .agg(
+            F.count(F.when(F.col("is_ref") == 1, True)).alias("cr"),
+            F.count(F.when(F.col("is_ref") == 0, True)).alias("cc"),
         )
-
+    )
     bins = spark.range(nbins).select(F.col("id").cast("int").alias("bin"))
-    j = (
-        bins.join(side_probs(ref, "cr"), "bin", "left")
-        .join(side_probs(cur, "cc"), "bin", "left")
-        .fillna(0, subset=["cr", "cc"])
+    j = bins.join(F.broadcast(side_probs), "bin", "left").fillna(
+        0, subset=["cr", "cc"]
     )
     sum_r = F.sum("cr").over(Window.partitionBy())
     sum_c = F.sum("cc").over(Window.partitionBy())
@@ -254,15 +275,22 @@ def ks_frame(
 ) -> DataFrame:
     """One row: (ks_d double) — the two-sample KS statistic."""
     if mode.exact:
-        _, _, n_ref, n_cur = shared_range(ref, cur, column)
+        # ONE action: the side totals are the maxima of the cumulative
+        # counts, read off the same sorted frame with an unbounded
+        # window (same single sort task; was a separate count pass).
+        # Explicit double casts keep the division fractional (Infinity/
+        # NaN on an empty side, as the old float literals produced)
+        # rather than ANSI integral division.
         e = _union_ecdf(ref, cur, column)
-        return e.agg(
-            F.max(
-                F.abs(
-                    F.col("cum_r") / F.lit(float(n_ref))
-                    - F.col("cum_c") / F.lit(float(n_cur))
-                )
-            ).cast("double").alias("ks_d")
+        wf = Window.orderBy("v").rangeBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        d = F.abs(
+            F.col("cum_r").cast("double") / F.max("cum_r").over(wf).cast("double")
+            - F.col("cum_c").cast("double") / F.max("cum_c").over(wf).cast("double")
+        )
+        return e.select(d.alias("d")).agg(
+            F.max("d").cast("double").alias("ks_d")
         )
     # sketch: D over the binned ECDF (bin grid = ecdf_bins equal-width)
     rs = shared_range(ref, cur, column)
@@ -286,16 +314,29 @@ def wasserstein_frame(
     range-normalized form divides by max(range_ref, range_cur)
     (``distribution.py:236-246``).
     """
-    a = ref.agg(
-        F.min(F.col(column).cast("double")).alias("mn"),
-        F.max(F.col(column).cast("double")).alias("mx"),
-        F.count(column).alias("n"),
+    # per-side range + count stats in ONE aggregate over the tagged
+    # union (was two separate driver actions)
+    c = F.col(column).cast("double")
+    u = ref.select(c.alias("v"), F.lit(1).alias("is_ref")).unionAll(
+        cur.select(c.alias("v"), F.lit(0).alias("is_ref"))
+    )
+    rv = F.when(F.col("is_ref") == 1, F.col("v"))
+    cv = F.when(F.col("is_ref") == 0, F.col("v"))
+    srow = u.agg(
+        F.min(rv).alias("a_mn"),
+        F.max(rv).alias("a_mx"),
+        F.count(rv).alias("a_n"),
+        F.min(cv).alias("b_mn"),
+        F.max(cv).alias("b_mx"),
+        F.count(cv).alias("b_n"),
     ).collect()[0]
-    b = cur.agg(
-        F.min(F.col(column).cast("double")).alias("mn"),
-        F.max(F.col(column).cast("double")).alias("mx"),
-        F.count(column).alias("n"),
-    ).collect()[0]
+
+    class _Side:
+        def __init__(self, mn, mx, n):
+            self.mn, self.mx, self.n = mn, mx, int(n)
+
+    a = _Side(srow.a_mn, srow.a_mx, srow.a_n)
+    b = _Side(srow.b_mn, srow.b_mx, srow.b_n)
     value_range = max(
         (a.mx or 0.0) - (a.mn or 0.0), (b.mx or 0.0) - (b.mn or 0.0)
     )
