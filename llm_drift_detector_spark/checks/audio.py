@@ -260,6 +260,56 @@ def _snr_violation(
     return None
 
 
+def _decode_and_snr_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    """Merged decode stage: dur check for decode-path rows (flac /
+    non-canonical wav, flagged ``__dur_check``) AND the SNR compare for
+    rows whose broadcast-attached ``ref_bytes`` is present — one Python
+    pass instead of the separate _decoded_dur_arrow + _snr_arrow stages
+    (which each re-scanned the payload column).  Verdicts are exactly
+    the union of the two kernels': a decode failure or dur mismatch on a
+    __dur_check row emits dur_ms_mismatch and suppresses SNR; on a
+    native-tier row it just suppresses SNR (the native branch owns its
+    dur verdict); SNR fires only for decodable, dur-consistent rows with
+    a reference payload attached."""
+    for b in batches:
+        ids = b.column("clip_id")
+        payloads = b.column("bytes")
+        srs = b.column("sr_hz")
+        durs = b.column("dur_ms")
+        codecs_ = b.column("codec").to_pylist()
+        dur_checks = b.column("__dur_check").to_pylist()
+        refs = b.column("ref_bytes")
+        ref_codecs = b.column("ref_codec").to_pylist()
+        rows: list[tuple[str, str, str]] = []
+        for i in range(b.num_rows):
+            pcm = _decode_np(payloads[i].as_py(), codecs_[i])
+            if pcm is None:
+                if dur_checks[i]:
+                    rows.append(
+                        (ids[i].as_py(), "dur_ms_mismatch", json.dumps({"error": "decode_failed"}))
+                    )
+                continue
+            sr = srs[i].as_py()
+            implied = len(pcm) * 1000.0 / sr if sr else float("inf")
+            if abs(durs[i].as_py() - implied) > DUR_MS_TOLERANCE:
+                if dur_checks[i]:
+                    rows.append(
+                        (
+                            ids[i].as_py(),
+                            "dur_ms_mismatch",
+                            json.dumps({"dur_ms": durs[i].as_py(), "implied_ms": round(implied, 3)}),
+                        )
+                    )
+                continue
+            if not refs[i].is_valid:
+                continue
+            ref_pcm = _decode_np(refs[i].as_py(), ref_codecs[i])
+            violation = _snr_violation(ids[i].as_py(), ref_pcm, pcm)
+            if violation is not None:
+                rows.append(violation)
+        yield from _emit(rows)
+
+
 def _deep_validate_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
     """Deep mode: decode BOTH payloads for every row — flac dur check +
     SNR everywhere.  pcm/opus dur is still caught natively upstream."""
@@ -312,6 +362,7 @@ def audio_invariant_violations(
     reference_hashes: DataFrame | None = None,
     salted: bool = False,
     max_collected_violations: int = 200_000,
+    max_broadcast_fetch_ids: int = 20_000,
 ) -> DataFrame:
     """Violation rows (clip_id, check_name, detail) from the decode checks.
 
@@ -446,15 +497,19 @@ def audio_invariant_violations(
     )
     narrow = cur.select(
         "clip_id",
-        "codec",
+        # shuffle bytes (guide §2.3): the join carries a 1-byte whitelist
+        # flag instead of the codec string, and the detail JSON only for
+        # the violation-rate rows that emit it (NULL otherwise — the
+        # to_json also skips 99%+ of rows that way)
+        F.col("codec").isin(list(CODEC_WHITELIST)).alias("__wl"),
         F.xxhash64("bytes").alias("h"),
         native_viol_cond.alias("__nd"),
-        native_detail.alias("__nd_detail"),
+        F.when(native_viol_cond, native_detail).alias("__nd_detail"),
     )
     differing_cond = (
         F.col("rh").isNotNull()
         & (F.col("h") != F.col("rh"))
-        & F.col("codec").isin(list(CODEC_WHITELIST))
+        & F.col("__wl")
     )
     marks = F.array(
         F.when(F.col("__nd"), F.struct(F.lit("dur_ms_mismatch").alias("check_name"), F.col("__nd_detail").alias("detail"))),
@@ -486,21 +541,20 @@ def audio_invariant_violations(
     ids = list(dict.fromkeys(r.clip_id for r in fused_rows if r.check_name == _DIFFERING))
     native_dur_df = spark.createDataFrame(native_rows, AUDIO_VIOLATIONS_SCHEMA)
 
-    # --- 4. targeted payload fetch for the differing rows only ---
-    # Small id set (<= the session's parquet In-pushdown threshold, see
-    # session.py): push an isin() literal so the scan gets PushedFilters
-    # In(clip_id, ...).  Larger set: broadcast a literal id frame built
-    # from the ALREADY-COLLECTED ids — unlike broadcasting the
-    # differing-ids *plan*, this never re-executes the hash join (the
-    # old fallback recomputed it twice, once per fetch side).
-    if len(ids) <= max_fetch_ids:
-        fetch_cur = cur.where(F.col("clip_id").isin(ids))
-        fetch_ref = reference.select(
-            "clip_id",
-            F.col("bytes").alias("ref_bytes"),
-            F.col("codec").alias("ref_codec"),
-        ).where(F.col("clip_id").isin(ids))
-    else:
+    # --- 4. one merged Python stage for decode-dur + SNR ---------------
+    # The SNR candidates' reference payloads (violation-rate-small) are
+    # fetched once and BROADCAST-joined onto the same clips pass that
+    # feeds the decode-path dur check, so the whole Python tier is a
+    # single scan -> BroadcastHashJoin -> mapInArrow with zero shuffles
+    # (the previous shape ran a second clips scan, a ref scan, and a
+    # sort-merge pair join for SNR alone — guide §2.4/§8: decide with
+    # small rows, and here even the heavy rows never move).  Id filter:
+    # an isin() literal reaches the scan as PushedFilters In(...) below
+    # the session threshold; above it a broadcast of the collected id
+    # frame (never a re-executed hash join).  Past
+    # ``max_broadcast_fetch_ids`` the ref payload set is too big to
+    # broadcast — fall back to the shuffled pair-join fetch.
+    if len(ids) > max_broadcast_fetch_ids:
         ids_df = spark.createDataFrame([(i,) for i in ids], "clip_id string")
         fetch_cur = cur.join(F.broadcast(ids_df), "clip_id")
         fetch_ref = reference.select(
@@ -508,10 +562,37 @@ def audio_invariant_violations(
             F.col("bytes").alias("ref_bytes"),
             F.col("codec").alias("ref_codec"),
         ).join(F.broadcast(ids_df), "clip_id")
-    pairs = fetch_cur.join(fetch_ref, "clip_id")
-    snr_viol = pairs.mapInArrow(_snr_arrow, schema=AUDIO_VIOLATIONS_SCHEMA)
+        pairs = fetch_cur.join(fetch_ref, "clip_id")
+        snr_viol = pairs.mapInArrow(_snr_arrow, schema=AUDIO_VIOLATIONS_SCHEMA)
+        return native_dur_df.unionByName(flac_viol).unionByName(snr_viol)
 
-    return native_dur_df.unionByName(flac_viol).unionByName(snr_viol)
+    ref_sel = reference.select(
+        "clip_id",
+        F.col("bytes").alias("ref_bytes"),
+        F.col("codec").alias("ref_codec"),
+    )
+    if len(ids) <= max_fetch_ids:
+        fetch_ref = ref_sel.where(F.col("clip_id").isin(ids))
+    else:
+        ids_df = spark.createDataFrame([(i,) for i in ids], "clip_id string")
+        fetch_ref = ref_sel.join(F.broadcast(ids_df), "clip_id")
+    decode_cond = (F.col("codec") == "flac") | (
+        (F.col("codec") == "wav") & ~wav_canonical_pred()
+    )
+    merged_in = (
+        cur.join(F.broadcast(fetch_ref), "clip_id", "left")
+        .where(decode_cond | F.col("ref_bytes").isNotNull())
+        .select(
+            "clip_id", "bytes", "sr_hz", "dur_ms", "codec",
+            decode_cond.alias("__dur_check"), "ref_bytes", "ref_codec",
+        )
+    )
+    if salted:
+        merged_in = merged_in.repartition(n, F.xxhash64("clip_id", F.lit(salt)))
+    decode_viol = merged_in.mapInArrow(
+        _decode_and_snr_arrow, schema=AUDIO_VIOLATIONS_SCHEMA
+    )
+    return native_dur_df.unionByName(decode_viol)
 
 
 def _audio_invariants_lazy_fallback(

@@ -46,6 +46,24 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Join strategy (guide §3.1/§9): allow shuffled-hash join where
+        # its size conditions hold instead of always sort-merge — the
+        # engine's joins are id/hash equi-joins whose per-partition build
+        # sides are small, and SHJ skips both sort passes.  AQE may also
+        # rewrite a planned sort-merge to shuffled-hash at runtime when
+        # every post-shuffle partition is under the local-map threshold.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            "134217728",
+        )
+        # AQE-time broadcast decisions use OBSERVED shuffle sizes (not
+        # the pre-filter estimates that keep the static threshold
+        # conservative), so a larger runtime threshold converts e.g. the
+        # 600k-row reference hash frame (~25 MB) to a broadcast join and
+        # removes the probe side's exchange entirely.  Static planning
+        # keeps the 10 MB default.
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "67108864")
         # Arrow exchange for pandas UDFs / mapInPandas; bounded batches so
         # heavy binary payload rows can't blow up a python worker.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
