@@ -41,12 +41,10 @@ from ..config import (
     SR_HZ_DOMAIN,
     StatsMode,
 )
-from ..checks.audio import audio_invariant_violations, transcript_mismatches
+from ..checks.audio import audio_invariant_violations
 from ..checks.base import bucket_id
 from ..checks.domain import domain_violations
-from ..checks.referential import orphans
 from ..checks.stats import profile
-from ..checks.uniqueness import duplicate_keys
 from ..drift import distribution_drift
 
 CHECK_VERSIONS = {
@@ -175,9 +173,68 @@ def _violations_for_group(
         )
 
     parts = []
+    # --- the four id-level relational checks ride ONE full-outer join --
+    # uniqueness, both orphan directions, and transcript equality each
+    # consumed their own aggregate/join over (clip_id[, transcript]) —
+    # four subtrees, seven exchanges.  One groupBy per side + one
+    # full-outer join + a per-id verdict array covers all four with
+    # verdicts identical to the standalone operators (guide §2.4: two
+    # operations keyed the same way share one exchange).  The standalone
+    # operators stay the per-check/driver-query paths.
+    rel_marks = []
     if include_global and cfg.check_active("uniqueness"):
+        rel_marks.append(("uniqueness", F.col("n_c") > 1, F.to_json(F.struct(F.col("n_c").alias("n")))))
+    if cfg.check_active("referential_clip_orphan"):
+        rel_marks.append(("referential_clip_orphan", F.col("n_c").isNotNull() & F.col("n_t").isNull(), F.lit("{}")))
+    if include_global and cfg.check_active("referential_transcript_orphan"):
+        rel_marks.append(("referential_transcript_orphan", F.col("n_t").isNotNull() & F.col("n_c").isNull(), F.lit("{}")))
+    if cfg.check_active("transcript_equality"):
+        # all clips-row x transcript-row pairs for an id are null-safe
+        # equal iff each side carries exactly ONE distinct value
+        # (counting NULL as a value) and those values null-safe match;
+        # ∃ a differing pair — the standalone operator's verdict — is
+        # the negation, gated on presence of both sides.
+        one_c = (F.col("nd_c") + (F.col("nn_c") < F.col("n_c")).cast("int")) == 1
+        one_t = (F.col("nd_t") + (F.col("nn_t") < F.col("n_t")).cast("int")) == 1
+        all_equal = (
+            one_c & one_t
+            & ((F.col("nn_c") > 0) == (F.col("nn_t") > 0))
+            & F.col("rep_c").eqNullSafe(F.col("rep_t"))
+        )
+        rel_marks.append(
+            ("transcript_equality",
+             F.col("n_c").isNotNull() & F.col("n_t").isNotNull() & ~all_equal,
+             F.lit("{}"))
+        )
+    if rel_marks:
+        cla = clips_g.groupBy(F.col("clip_id")).agg(
+            F.count("*").alias("n_c"),
+            F.count("transcript").alias("nn_c"),
+            F.size(F.collect_set("transcript")).alias("nd_c"),
+            F.min("transcript").alias("rep_c"),
+        )
+        tra = transcripts_g.groupBy(F.col("clip_id")).agg(
+            F.count("*").alias("n_t"),
+            F.count("transcript").alias("nn_t"),
+            F.size(F.collect_set("transcript")).alias("nd_t"),
+            F.min("transcript").alias("rep_t"),
+        )
+        joined = cla.join(tra, "clip_id", "full_outer")
+        marks = F.array(
+            *[
+                F.when(cond, F.struct(F.lit(name).alias("check_name"), detail.alias("detail")))
+                for name, cond, detail in rel_marks
+            ]
+        )
         parts.append(
-            shape(duplicate_keys(clips_g), "uniqueness", F.to_json(F.struct(F.col("n"))))
+            joined.select(
+                "clip_id", F.explode(F.filter(marks, lambda x: x.isNotNull())).alias("m")
+            ).select(
+                F.col("m.check_name").alias("check_name"),
+                F.col("clip_id"),
+                F.col("m.detail").alias("detail"),
+                bucket_id("clip_id", cfg.n_buckets).alias("partition_id"),
+            )
         )
     if cfg.check_active("sr_hz_domain"):
         parts.append(
@@ -194,16 +251,6 @@ def _violations_for_group(
                 "codec_whitelist",
                 F.to_json(F.struct(F.col("value"))),
             )
-        )
-    if cfg.check_active("referential_clip_orphan"):
-        parts.append(shape(orphans(clips_g, transcripts_g), "referential_clip_orphan"))
-    if include_global and cfg.check_active("referential_transcript_orphan"):
-        parts.append(
-            shape(orphans(transcripts_g, clips_g), "referential_transcript_orphan")
-        )
-    if cfg.check_active("transcript_equality"):
-        parts.append(
-            shape(transcript_mismatches(clips_g, transcripts_g), "transcript_equality")
         )
     audio_checks = [
         c for c in ("dur_ms_mismatch", "snr_allclose") if cfg.check_active(c)
