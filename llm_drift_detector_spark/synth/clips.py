@@ -380,7 +380,12 @@ def _params_from_payload(d: dict) -> SynthParams:
 
 # --- tiered cache (sf -> row count, FIXTURES.md sizing) ----------------------
 
-SF_ROWS = {"sf0.001": 6_000, "sf0.01": 60_000, "sf0.1": 600_000}
+SF_ROWS = {
+    "sf0.001": 6_000,
+    "sf0.01": 60_000,
+    "sf0.1": 600_000,
+    "sf1.0": 6_000_000,
+}
 # decode-heavy tier for the scaling bench: fewer, longer clips (~20x the
 # payload per row) — representative of real ~seconds-long audio where the
 # validation job is decode/transfer-bound, not per-row-overhead-bound
