@@ -367,7 +367,13 @@ def _batch_row(
     frozen = spark.createDataFrame(
         list(profile["vocab"].items()) or [("", 0)], "token string, cr bigint"
     ).where(F.col("token") != "")
-    toks = _tokens(batch_df, column)
+    # The vocab-join and perplexity subframes both consume the exploded
+    # token frame; persisting it keeps the tokenize+explode (and the
+    # batch-source read feeding it) to ONE execution per micro-batch —
+    # the bench recorded numInputRows ~4x the backlog before (guide §5:
+    # persist exactly the reused, expensive-to-recompute intermediate).
+    # Scope: created and dropped inside this one batch computation.
+    toks = _tokens(batch_df, column).persist()
     cur_tc = toks.groupBy("token").agg(F.count("*").alias("cc"))
 
     # C13 vocab metrics + batch token-level style stats in one subframe:
@@ -428,9 +434,12 @@ def _batch_row(
         )
     )
     n_row = base.agg(F.count("*").alias("n"))
-    return (
-        vocab_row.crossJoin(ppl_row).crossJoin(sent_row).crossJoin(n_row).collect()[0]
-    )
+    try:
+        return (
+            vocab_row.crossJoin(ppl_row).crossJoin(sent_row).crossJoin(n_row).collect()[0]
+        )
+    finally:
+        toks.unpersist()
 
 
 def _text_metrics(
@@ -495,7 +504,14 @@ def stream_text_drift(
     checkpoint = os.path.join(out_dir, "_text_stream_checkpoint")
 
     def process(batch_df: DataFrame, epoch_id: int) -> None:
-        row = _batch_row(spark, batch_df, profile)
+        # one source read per micro-batch: the fused row's subframes and
+        # the topic pass all come off this cached slice
+        batch_df = batch_df.persist()
+        try:
+            row = _batch_row(spark, batch_df, profile)
+        except Exception:
+            batch_df.unpersist()
+            raise
         n = int(row.n)
         gated = n < min_samples
         m = (
@@ -504,23 +520,26 @@ def stream_text_drift(
             else _text_metrics(row, profile, lexical_threshold, ppl_threshold)
         )
         topic_js = topic_score = topic_drift = None
-        if topic_col is not None and not gated:
-            counts = (
-                assign_topics(
-                    batch_df.where(
-                        F.col(topic_col).isNotNull()
-                        & (F.size(F.col(topic_col)) > 0)
-                    ),
-                    topic_col,
+        try:
+            if topic_col is not None and not gated:
+                counts = (
+                    assign_topics(
+                        batch_df.where(
+                            F.col(topic_col).isNotNull()
+                            & (F.size(F.col(topic_col)) > 0)
+                        ),
+                        topic_col,
+                    )
+                    .groupBy("topic")
+                    .agg(F.count("*").alias("cnt"))
+                    .collect()
                 )
-                .groupBy("topic")
-                .agg(F.count("*").alias("cnt"))
-                .collect()
-            )
-            tj = _topic_js(profile["topics"], {int(r.topic): int(r.cnt) for r in counts})
-            topic_js = float(tj)
-            topic_score = float(min(tj / topic_threshold, 1.0))
-            topic_drift = bool(tj > topic_threshold)
+                tj = _topic_js(profile["topics"], {int(r.topic): int(r.cnt) for r in counts})
+                topic_js = float(tj)
+                topic_score = float(min(tj / topic_threshold, 1.0))
+                topic_drift = bool(tj > topic_threshold)
+        finally:
+            batch_df.unpersist()
         detected = bool(
             m["lexical_drift"] or m["ppl_drift"] or (topic_drift or False)
         )
@@ -801,11 +820,15 @@ def stream_text_drift_grouped(
             "__rt",
             "__denom",
         )
+        # one source read + one tokenize per micro-batch (see the global
+        # variant): the n/vocab/ppl/sentence/topic subframes all reuse
+        # these two cached slices, dropped at the end of the batch
+        basek = basek.persist()
         kb = basek.where(F.col("__rt").isNotNull())  # known-group rows
 
         n_frame = basek.groupBy(*keys).agg(F.count("*").alias("n"))
 
-        toks = _tokens_grouped(kb, column, keys)
+        toks = _tokens_grouped(kb, column, keys).persist()
         cur_tc = toks.groupBy(*keys, "token").agg(F.count("*").alias("cc"))
         ct_tot = cur_tc.groupBy(*keys).agg(
             F.greatest(F.sum("cc"), F.lit(1)).cast("double").alias("__ct")
@@ -867,30 +890,34 @@ def stream_text_drift_grouped(
             )
         )
 
-        rows = (
-            n_frame.join(vocab_frame, keys, "left")
-            .join(ppl_frame, keys, "left")
-            .join(sent_frame, keys, "left")
-            .collect()
-        )
-
-        topic_counts: dict[tuple, dict[int, int]] = {}
-        if topic_col is not None:
-            for r in (
-                assign_topics(
-                    kb.where(
-                        F.col(topic_col).isNotNull()
-                        & (F.size(F.col(topic_col)) > 0)
-                    ),
-                    topic_col,
-                )
-                .groupBy(*keys, "topic")
-                .agg(F.count("*").alias("cnt"))
+        try:
+            rows = (
+                n_frame.join(vocab_frame, keys, "left")
+                .join(ppl_frame, keys, "left")
+                .join(sent_frame, keys, "left")
                 .collect()
-            ):
-                topic_counts.setdefault(tuple(r[k] for k in keys), {})[
-                    int(r.topic)
-                ] = int(r.cnt)
+            )
+
+            topic_counts: dict[tuple, dict[int, int]] = {}
+            if topic_col is not None:
+                for r in (
+                    assign_topics(
+                        kb.where(
+                            F.col(topic_col).isNotNull()
+                            & (F.size(F.col(topic_col)) > 0)
+                        ),
+                        topic_col,
+                    )
+                    .groupBy(*keys, "topic")
+                    .agg(F.count("*").alias("cnt"))
+                    .collect()
+                ):
+                    topic_counts.setdefault(tuple(r[k] for k in keys), {})[
+                        int(r.topic)
+                    ] = int(r.cnt)
+        finally:
+            toks.unpersist()
+            basek.unpersist()
 
         out_rows = []
         n_unknown = 0
