@@ -61,9 +61,29 @@ def vocab_difference_frame(
       fully parallel (no single-partition exchange), still lazy, still
       one action, identical results (test-asserted).
     """
-    r = token_counts(ref, col).withColumnRenamed("cnt", "cr")
-    c = token_counts(cur, col).withColumnRenamed("cnt", "cc")
-    j = r.join(c, "token", "full_outer")
+    # both sides' term frequencies from ONE pass over the tagged union —
+    # replaces two token_counts aggregates + a full-outer join (three
+    # exchanges) with a single groupBy(token) (guide §2.4).  Zero counts
+    # map back to NULL so the presence semantics of the old full-outer
+    # join (cr/cc NULL when a token is absent from a side) are exact.
+    def _side_tokens(df: DataFrame, tag: int) -> DataFrame:
+        tok = F.explode(F.split(F.lower(F.col(col)), r"\s+")).alias("token")
+        return (
+            df.where(F.col(col).isNotNull())
+            .select(tok, F.lit(tag).alias("is_ref"))
+            .where(F.col("token") != "")
+        )
+
+    u = _side_tokens(ref, 1).unionAll(_side_tokens(cur, 0))
+    counts = u.groupBy("token").agg(
+        F.sum("is_ref").alias("cr_raw"),
+        F.sum(1 - F.col("is_ref")).alias("cc_raw"),
+    )
+    j = counts.select(
+        "token",
+        F.when(F.col("cr_raw") > 0, F.col("cr_raw")).alias("cr"),
+        F.when(F.col("cc_raw") > 0, F.col("cc_raw")).alias("cc"),
+    )
     both = F.col("cr").isNotNull() & F.col("cc").isNotNull()
     if totals == "broadcast":
         t = j.agg(
