@@ -203,6 +203,123 @@ def tag_windows(
     )
 
 
+def _stage3_driver(
+    df: DataFrame,
+    keys: list[str],
+    cell_rows,
+    nbins: int,
+    psi_nbins: int,
+    min_samples: int,
+) -> DataFrame:
+    """Stage 3 of the binned grouped detector on the driver: the same
+    fold arithmetic as the distributed array reductions (identical
+    accumulation ORDER — ascending-bin left folds, same epsilon and
+    normalization placement), over the collected (group, grid, bin)
+    cells.  Only reached for min_samples >= 1 and a bounded cell count
+    (see the call site)."""
+    import math
+
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    key_fields = [df.schema[k] for k in keys]
+    out_schema = StructType(
+        [StructField(f.name, f.dataType, True) for f in key_fields]
+        + [
+            StructField("n_ref", LongType(), True),
+            StructField("n_cur", LongType(), True),
+            StructField("ks_d", DoubleType(), True),
+            StructField("js", DoubleType(), True),
+            StructField("psi", DoubleType(), True),
+            StructField("wd", DoubleType(), True),
+            StructField("wd_norm", DoubleType(), True),
+            StructField("t_stat", DoubleType(), True),
+            StructField("gated", BooleanType(), True),
+        ]
+    )
+
+    groups: dict[tuple, dict] = {}
+    for r in cell_rows:
+        g = tuple(r[k] for k in keys)
+        e = groups.setdefault(g, {"st": r, "cells": {}})
+        e["cells"][(int(r["__g"]), int(r["__bin"]))] = (
+            int(r["cr"]),
+            int(r["cc"]),
+        )
+
+    out = []
+    for g, e in groups.items():
+        st = e["st"]
+        cells = e["cells"]
+        n_ref, n_cur = int(st["n_ref"]), int(st["n_cur"])
+        gated = n_ref < min_samples or n_cur < min_samples
+        if gated:
+            out.append((*g, n_ref, n_cur, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, True))
+            continue
+        mn, mx = float(st["mn"]), float(st["mx"])
+        has_range = mx > mn
+        width = (mx - mn) / nbins
+
+        def cnt(grid: int, b: int, side: int) -> float:
+            c = cells.get((grid, b))
+            return float(c[side]) if c is not None else 0.0
+
+        js = ks_d = wd = 0.0
+        if has_range:
+            dens_r = [cnt(0, b, 0) / (n_ref * width) + EPS for b in range(nbins)]
+            dens_c = [cnt(0, b, 1) / (n_cur * width) + EPS for b in range(nbins)]
+            sr = 0.0
+            for d in dens_r:
+                sr += d
+            sc = 0.0
+            for d in dens_c:
+                sc += d
+            p0 = [d / sr for d in dens_r]
+            q0 = [d / sc for d in dens_c]
+            acc = 0.0
+            for p, q in zip(p0, q0):
+                acc += 0.5 * p * math.log(p / ((p + q) / 2)) + 0.5 * q * math.log(
+                    q / ((p + q) / 2)
+                )
+            js = acc
+            fp = fq = mx_gap = sm_gap = 0.0
+            for p, q in zip(p0, q0):
+                fp += p
+                fq += q
+                gap = abs(fp - fq)
+                mx_gap = max(mx_gap, gap)
+                sm_gap += gap
+            ks_d = mx_gap
+            wd = sm_gap * width
+
+        psi = 0.0
+        for b in range(psi_nbins):
+            p1 = (cnt(1, b, 0) / float(n_ref) + EPS) / (1.0 + psi_nbins * EPS)
+            q1 = (cnt(1, b, 1) / float(n_cur) + EPS) / (1.0 + psi_nbins * EPS)
+            psi += (p1 - q1) * math.log(p1 / q1)
+
+        # both sides populated here (min_samples >= 1), so the per-side
+        # ranges are non-null and F.greatest == plain max
+        value_range = max(float(st["range_ref"]), float(st["range_cur"]))
+        wd_norm = wd / value_range if value_range > 0 else 0.0
+        se = float(st["var_ref"]) / n_ref + float(st["var_cur"]) / n_cur
+        t_stat = (
+            (float(st["mean_ref"]) - float(st["mean_cur"])) / math.sqrt(se)
+            if se > 0
+            else 0.0
+        )
+        out.append(
+            (*g, n_ref, n_cur, float(ks_d), float(js), float(psi), float(wd),
+             float(wd_norm), float(t_stat), False)
+        )
+    return df.sparkSession.createDataFrame(out, out_schema)
+
+
 def grouped_distribution_drift_binned(
     df: DataFrame,
     keys: list[str],
@@ -213,6 +330,7 @@ def grouped_distribution_drift_binned(
     min_samples: int = MIN_SAMPLES,
     exact_edges: bool = False,
     approx_accuracy: int = 10000,
+    max_driver_cells: int = 200_000,
 ) -> DataFrame:
     """Binned per-group drift — NO Python anywhere, O(nbins) state per
     group: the 10^12-row scale path.
@@ -308,6 +426,24 @@ def grouped_distribution_drift_binned(
             *[F.first(c).alias(c) for c in st_cols],
         )
     )
+
+    # --- stage 3a: driver-side reduction for bounded grids ----------------
+    # The distributed stage 3 below builds ~10 forty-element lambda
+    # expressions whose Catalyst analysis/optimization alone costs ~0.8 s
+    # per invocation (measured r6, plans/r06) while the DATA is only
+    # #groups x (nbins + psi_nbins) cells.  When the cell count is
+    # bounded, collect the cells and run the identical fold arithmetic in
+    # plain Python — the distribution_drift pattern: Spark does every
+    # per-row reduction, the driver touches O(groups x bins) aggregates.
+    # min_samples >= 1 guarantees non-gated groups have both sides
+    # populated, so the distributed form's try_divide NULLs cannot occur
+    # outside gated groups (whose metrics are zeroed wholesale anyway);
+    # for min_samples == 0 or oversized grids the distributed stage 3
+    # below remains the path.
+    if min_samples >= 1:
+        cell_rows = counts.limit(max_driver_cells + 1).collect()
+        if len(cell_rows) <= max_driver_cells:
+            return _stage3_driver(df, keys, cell_rows, nbins, psi_nbins, min_samples)
 
     # --- stage 3: per-group array reductions (one row per group) ----------
     # The sparse (grid, bin) counts collapse into ONE map per group; the
