@@ -394,11 +394,28 @@ HEAVY_PARAMS = dict(n_rows=150_000, dur_median_ms=320.0, dur_max_ms=8000.0, seed
 SYNTH_ROOT = os.environ.get("SPARK_GRAFT_SYNTH_ROOT", "/root/repo/data/synth")
 
 
+def sf_rows_for(tier: str) -> int:
+    """Clip count for a scale tier.  Known tiers come from SF_ROWS; any
+    other ``sf<float>`` dir scales linearly from the same anchor
+    (6M rows at sf1.0 — consistent with every listed tier), so a
+    driver-generated scale factor outside the list still benches instead
+    of dying in ensure_synth."""
+    if tier in SF_ROWS:
+        return SF_ROWS[tier]
+    if tier.startswith("sf"):
+        try:
+            sf = float(tier[2:])
+        except ValueError:
+            raise ValueError(f"unknown sf tier: {tier}") from None
+        if sf > 0:
+            return int(round(6_000_000 * sf))
+    raise ValueError(f"unknown sf tier: {tier}")
+
+
 def synth_dir_for(sf_dir: str) -> str:
     """Map a driver sf dir (/root/testdata/sf0.01) to our synth cache dir."""
     tier = os.path.basename(os.path.normpath(sf_dir))
-    if tier not in SF_ROWS:
-        raise ValueError(f"unknown sf tier: {sf_dir}")
+    sf_rows_for(tier)  # validates
     return os.path.join(SYNTH_ROOT, tier)
 
 
@@ -415,7 +432,7 @@ def ensure_synth_local(sf_dir: str) -> str:
 
     root = synth_dir_for(sf_dir)
     tier = os.path.basename(root)
-    p = SynthParams(n_rows=SF_ROWS[tier])
+    p = SynthParams(n_rows=sf_rows_for(tier))
     done = os.path.join(root, "_DONE")
     if os.path.exists(done):
         ensure_expected_audio_violations(root, p)  # upgrade older caches
@@ -487,7 +504,7 @@ def ensure_synth(spark, sf_dir: str, partitions: int = 32) -> str:
     """
     root = synth_dir_for(sf_dir)
     tier = os.path.basename(root)
-    p = SynthParams(n_rows=SF_ROWS[tier])
+    p = SynthParams(n_rows=sf_rows_for(tier))
     done = os.path.join(root, "_DONE")
     if os.path.exists(done):
         ensure_expected_audio_violations(root, p)  # upgrade older caches
