@@ -28,11 +28,10 @@ Arrow channel to Python.  The plan here:
    payloads.  Equal hashes => identical payload => identical decoded
    PCM => SNR = +inf (pass) with no decode at all.
 3. flac rows (decoded length needs a decompress) flow scan -> mapInArrow
-   directly; the optional salted repartition
-   ``repartition(n, xxhash64(clip_id, salt))`` defuses decode-cost skew
-   from long clips (file-split scan partitions are byte-uniform, so the
-   default keeps the salt shuffle ON only because count-skew of the
-   Python stage is the mandated concern; disable with ``salted=False``).
+   directly on byte-uniform file-split partitions; the salted
+   repartition ``repartition(n, xxhash64(clip_id, salt))`` is the
+   OPT-IN rebalance (``salted=True``) for physically skewed stores —
+   since r6 the default skips that payload-bytes exchange (guide §2.4).
 4. Only the differing-payload rows (genuinely suspicious, ~violation
    rate of the table) fetch both payloads — by broadcast-joining their
    clip_ids against each table — and decode for the real SNR compare.
@@ -448,8 +447,14 @@ def audio_invariant_violations(
             F.col("bytes").alias("ref_bytes"),
             F.col("codec").alias("ref_codec"),
         )
+        # the ONE join in the engine whose both sides carry payload
+        # bytes: pin it to sort-merge.  The session prefers shuffled-hash
+        # (right for the narrow id/hash joins), but SHJ would build a
+        # whole per-partition payload side as an in-memory hash table —
+        # at low partition counts that is GBs in one map (guide §3.1's
+        # stated OOM risk); SMJ spills gracefully.
         pairs = cur.where(F.col("codec").isin(list(CODEC_WHITELIST))).join(
-            ref_payloads, "clip_id", "left"
+            ref_payloads.hint("merge"), "clip_id", "left"
         )
         if salted:
             # see the `salted` docstring note: the equi-join's output is
@@ -562,7 +567,7 @@ def audio_invariant_violations(
             F.col("bytes").alias("ref_bytes"),
             F.col("codec").alias("ref_codec"),
         ).join(F.broadcast(ids_df), "clip_id")
-        pairs = fetch_cur.join(fetch_ref, "clip_id")
+        pairs = fetch_cur.join(fetch_ref.hint("merge"), "clip_id")  # payload x payload: sort-merge, never a payload hash build
         snr_viol = pairs.mapInArrow(_snr_arrow, schema=AUDIO_VIOLATIONS_SCHEMA)
         return native_dur_df.unionByName(flac_viol).unionByName(snr_viol)
 
@@ -631,7 +636,7 @@ def _audio_invariants_lazy_fallback(
             F.col("bytes").alias("ref_bytes"),
             F.col("codec").alias("ref_codec"),
         ).join(F.broadcast(differing_ids), "clip_id")
-    pairs = fetch_cur.join(fetch_ref, "clip_id")
+    pairs = fetch_cur.join(fetch_ref.hint("merge"), "clip_id")  # payload x payload: sort-merge, never a payload hash build
     snr_viol = pairs.mapInArrow(_snr_arrow, schema=AUDIO_VIOLATIONS_SCHEMA)
     return native_dur.unionByName(flac_viol).unionByName(snr_viol)
 
