@@ -86,6 +86,15 @@ def get_spark(
         # at the same value and falls back to a broadcast join above it,
         # which is genuinely the better plan for big id sets.
         .config("spark.sql.parquet.pushdown.inFilterThreshold", "1000")
+        # The engine's limit(cap).collect() calls are guard caps on
+        # violation-rate outputs: the cap is almost never reached, so
+        # every partition must execute anyway and the default incremental
+        # limit execution (1 partition, then scale-up waves) just
+        # serializes the job.  Launch the first wave wide.
+        .config(
+            "spark.sql.limit.initialNumPartitions",
+            str(max(64, shuffle_partitions)),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
