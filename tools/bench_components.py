@@ -118,15 +118,19 @@ def main() -> None:
         "vf_audio_invariants": lambda: audio_invariant_violations(clips, ref),
     }
 
-    plans_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r06")
-    os.makedirs(plans_dir, exist_ok=True)
-    for name, build in benches.items():
-        df = build()
-        with open(os.path.join(plans_dir, f"{name}_{tag}.txt"), "w") as f:
-            f.write(df._sc._jvm.PythonSQLUtils.explainString(
-                df._jdf.queryExecution(), "formatted"))
-    print(f"plans written to {plans_dir} ({tag})", file=sys.stderr)
     if plans_only:
+        # plan capture only on explicit request — a timing run must never
+        # silently overwrite the committed before/after plan snapshots
+        plans_dir = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r06"
+        )
+        os.makedirs(plans_dir, exist_ok=True)
+        for name, build in benches.items():
+            df = build()
+            with open(os.path.join(plans_dir, f"{name}_{tag}.txt"), "w") as f:
+                f.write(df._sc._jvm.PythonSQLUtils.explainString(
+                    df._jdf.queryExecution(), "formatted"))
+        print(f"plans written to {plans_dir} ({tag})", file=sys.stderr)
         spark.stop()
         return
 
