@@ -97,16 +97,24 @@ def stream_validate(
         # in another batch, and uniqueness only sees within-batch dups.
         # Those two stay with the bucket-checkpointed batch runner (or
         # the stateful path, streaming/stateful.py).
-        (
-            violations_frame(
-                batch_df, t_static, reference, cfg,
-                include_global=False, reference_hashes=ref_hashes,
+        # One source read per trigger: the violations union's branches
+        # (relational join, domains, audio eager pass + decode stage)
+        # each consumed their own scan of the batch files; the cached
+        # slice lives exactly as long as this batch's computation.
+        batch_df = batch_df.persist()
+        try:
+            (
+                violations_frame(
+                    batch_df, t_static, reference, cfg,
+                    include_global=False, reference_hashes=ref_hashes,
+                )
+                .withColumn("run_id", F.lit(run_id))
+                .withColumn("epoch", F.lit(epoch_id))
+                .write.mode("append")
+                .parquet(sink)
             )
-            .withColumn("run_id", F.lit(run_id))
-            .withColumn("epoch", F.lit(epoch_id))
-            .write.mode("append")
-            .parquet(sink)
-        )
+        finally:
+            batch_df.unpersist()
 
     writer = stream.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint
