@@ -193,9 +193,16 @@ def _violations_for_group(
         # equal iff each side carries exactly ONE distinct value
         # (counting NULL as a value) and those values null-safe match;
         # ∃ a differing pair — the standalone operator's verdict — is
-        # the negation, gated on presence of both sides.
-        one_c = (F.col("nd_c") + (F.col("nn_c") < F.col("n_c")).cast("int")) == 1
-        one_t = (F.col("nd_t") + (F.col("nn_t") < F.col("n_t")).cast("int")) == 1
+        # the negation, gated on presence of both sides.  "One distinct
+        # value" is expressed as all-null OR (no nulls AND min == max)
+        # so the profile needs only count/min/max — plain codegen'd
+        # HashAggregate, no collect_set ObjectHashAggregate.
+        one_c = (F.col("nn_c") == 0) | (
+            (F.col("nn_c") == F.col("n_c")) & (F.col("rep_c") == F.col("mx_c"))
+        )
+        one_t = (F.col("nn_t") == 0) | (
+            (F.col("nn_t") == F.col("n_t")) & (F.col("rep_t") == F.col("mx_t"))
+        )
         all_equal = (
             one_c & one_t
             & ((F.col("nn_c") > 0) == (F.col("nn_t") > 0))
@@ -210,14 +217,14 @@ def _violations_for_group(
         cla = clips_g.groupBy(F.col("clip_id")).agg(
             F.count("*").alias("n_c"),
             F.count("transcript").alias("nn_c"),
-            F.size(F.collect_set("transcript")).alias("nd_c"),
             F.min("transcript").alias("rep_c"),
+            F.max("transcript").alias("mx_c"),
         )
         tra = transcripts_g.groupBy(F.col("clip_id")).agg(
             F.count("*").alias("n_t"),
             F.count("transcript").alias("nn_t"),
-            F.size(F.collect_set("transcript")).alias("nd_t"),
             F.min("transcript").alias("rep_t"),
+            F.max("transcript").alias("mx_t"),
         )
         joined = cla.join(tra, "clip_id", "full_outer")
         marks = F.array(
